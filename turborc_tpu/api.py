@@ -1,0 +1,55 @@
+"""Public compress/decompress API over the block container."""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from turborc_tpu.codecs import registry
+from turborc_tpu.container import format as fmt
+from turborc_tpu.utils.config import CodecConfig
+
+
+def _as_bytes_array(data) -> np.ndarray:
+    if isinstance(data, np.ndarray):
+        return data.astype(np.uint8, copy=False).reshape(-1)
+    return np.frombuffer(bytes(data), np.uint8)
+
+
+def compress(data, cfg: CodecConfig | None = None) -> bytes:
+    """Compress a byte buffer into a TRCT container."""
+    cfg = cfg or CodecConfig()
+    codec = registry.get(cfg.codec)
+    arr = _as_bytes_array(data)
+    out = [fmt.write_header(codec.codec_id, cfg.lanes, cfg.step_quant,
+                            cfg.block_size, arr.shape[0])]
+    for off in range(0, max(arr.shape[0], 1), cfg.block_size):
+        blk = arr[off:off + cfg.block_size]
+        payload = codec.encode_block(blk, lanes=cfg.lanes,
+                                     step_quant=cfg.step_quant)
+        stored = len(payload) >= blk.shape[0]
+        if stored:
+            payload = blk.tobytes()
+        out.append(fmt.write_block(payload, blk, stored))
+    return b"".join(out)
+
+
+def decompress(buf: bytes) -> bytes:
+    """Decompress a TRCT container; verifies per-block crc32."""
+    hdr = fmt.read_header(buf)
+    codec = registry.get(hdr["codec_id"])
+    step_quant = hdr["step_quant"]
+    n_left = hdr["orig_len"]
+    out = []
+    for payload, stored, crc in fmt.iter_blocks(buf, hdr["data_off"]):
+        n = min(hdr["block_size"], n_left)
+        if stored:
+            blk = np.frombuffer(payload, np.uint8)[:n]
+        else:
+            blk = codec.decode_block(payload, n, lanes=hdr["lanes"],
+                                     step_quant=step_quant)
+        if zlib.crc32(blk.tobytes()) != crc:
+            raise ValueError("block crc mismatch: corrupt stream or decoder bug")
+        out.append(blk.tobytes())
+        n_left -= n
+    return b"".join(out)

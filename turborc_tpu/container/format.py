@@ -1,0 +1,81 @@
+"""Block container file format.
+
+Reference analog: hd_t file header + hdb_t per-block headers
+(turborc.c:666-733).  Every block is independently decodable (per-block
+model reset), which is both the checkpoint/restart property and the
+data-parallel sharding unit.
+
+Layout (all little-endian):
+
+  file header (28 bytes):
+    u32  magic      "TRCT" (0x54435254)
+    u8   version    1
+    u8   codec_id
+    u8   flags
+    u8   log2_lanes
+    u8   log2_step_quant   (per-lane symbol count K is padded to this)
+    u8[3] reserved
+    u32  block_size
+    u64  orig_len
+    u32  header_crc32 (of the previous 24 bytes)
+
+  per block:
+    u32  comp_len   payload byte count
+    u8   bflags     bit0: stored (raw bytes, incompressible fallback -
+                    reference OVERFLOW semantics, rcutil_.h:129-131)
+    u32  crc32      of the block's ORIGINAL bytes (decode verification;
+                    the reference has no checksums - we do better)
+    payload
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = 0x54435254
+VERSION = 1
+_HDR = struct.Struct("<IBBBBB3xIQ")
+_BHDR = struct.Struct("<IBI")
+
+BLK_STORED = 1
+
+
+def write_header(codec_id: int, lanes: int, step_quant: int,
+                 block_size: int, orig_len: int, flags: int = 0) -> bytes:
+    hdr = _HDR.pack(MAGIC, VERSION, codec_id, flags,
+                    lanes.bit_length() - 1, step_quant.bit_length() - 1,
+                    block_size, orig_len)
+    return hdr + struct.pack("<I", zlib.crc32(hdr))
+
+
+def read_header(buf: bytes):
+    hdr = buf[:_HDR.size]
+    (magic, version, codec_id, flags, log2_lanes, log2_step, block_size,
+     orig_len) = _HDR.unpack(hdr)
+    (crc,) = struct.unpack_from("<I", buf, _HDR.size)
+    if magic != MAGIC:
+        raise ValueError("bad magic: not a TRCT container")
+    if version != VERSION:
+        raise ValueError(f"unsupported container version {version}")
+    if crc != zlib.crc32(hdr):
+        raise ValueError("corrupt container header (crc mismatch)")
+    return dict(codec_id=codec_id, flags=flags, lanes=1 << log2_lanes,
+                step_quant=1 << log2_step, block_size=block_size,
+                orig_len=orig_len, data_off=_HDR.size + 4)
+
+
+def write_block(payload: bytes, raw: np.ndarray, stored: bool) -> bytes:
+    crc = zlib.crc32(raw.tobytes())
+    return _BHDR.pack(len(payload), BLK_STORED if stored else 0, crc) + payload
+
+
+def iter_blocks(buf: bytes, off: int):
+    """Yield (payload_bytes, stored, crc32) for each block."""
+    n = len(buf)
+    while off < n:
+        comp_len, bflags, crc = _BHDR.unpack_from(buf, off)
+        off += _BHDR.size
+        yield buf[off:off + comp_len], bool(bflags & BLK_STORED), crc
+        off += comp_len
