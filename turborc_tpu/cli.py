@@ -1,0 +1,124 @@
+"""Command-line interface: benchmark harness, compressor, decompressor.
+
+Mirrors the roles of the reference `turborc` binary (turborc.c:741-1176):
+`bench` is the -e mode (encode+decode+verify+time every codec), `c`/`d`
+are block compress/decompress against the TRCT container.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _codec_cfg(args, codec=None):
+    from turborc_tpu import CodecConfig
+    return CodecConfig(codec=codec or args.codec, lanes=args.lanes,
+                       block_size=args.block_size,
+                       step_quant=args.step_quant, prm0=args.prm0,
+                       prm1=args.prm1)
+
+
+def cmd_bench(args):
+    from turborc_tpu import compress, decompress
+    from turborc_tpu.codecs import registry
+
+    data = np.fromfile(args.input, np.uint8)
+    if args.size:
+        data = data[:args.size]
+    names = args.codecs.split(",") if args.codecs else registry.names()
+    rows = []
+    print(f"benchmarking {len(data):,} bytes on {_device_str()}")
+    for name in names:
+        cfg = _codec_cfg(args, codec=name)
+        # warm-up (jit compile) + verify
+        blob = compress(data, cfg)
+        ok = decompress(blob) == data.tobytes()
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            blob = compress(data, cfg)
+        enc_s = (time.perf_counter() - t0) / args.reps
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            decompress(blob)
+        dec_s = (time.perf_counter() - t0) / args.reps
+        n = max(len(data), 1)
+        rows.append((len(blob), name))
+        print(f"{len(blob):12,} {100.0*len(blob)/n:6.2f}% "
+              f"{n/enc_s/1e6:8.2f} MB/s {n/dec_s/1e6:8.2f} MB/s "
+              f"{name:16s} {'OK' if ok else 'FAIL'}")
+    print("\nBest methods by size:")
+    for size, name in sorted(rows)[:5]:
+        print(f"  {size:12,} {name}")
+
+
+def cmd_compress(args):
+    from turborc_tpu import compress
+    data = np.fromfile(args.input, np.uint8)
+    blob = compress(data, _codec_cfg(args))
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    n = max(len(data), 1)
+    print(f"{len(data):,} -> {len(blob):,} ({100.0*len(blob)/n:.2f}%)")
+
+
+def cmd_decompress(args):
+    from turborc_tpu import decompress
+    blob = open(args.input, "rb").read()
+    out = decompress(blob)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(f"{len(blob):,} -> {len(out):,}")
+
+
+def cmd_list(args):
+    from turborc_tpu.codecs import registry
+    for name in registry.names():
+        c = registry.get(name)
+        print(f"{c.codec_id:4d}  {name:16s} {c.description}")
+
+
+def _device_str():
+    import jax
+    return str(jax.devices()[0])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="turborc-tpu", description=__doc__.splitlines()[0])
+    p.add_argument("--lanes", type=int, default=512)
+    p.add_argument("--block-size", type=int, default=1 << 22)
+    p.add_argument("--step-quant", type=int, default=256)
+    p.add_argument("--prm0", type=int, default=5)
+    p.add_argument("--prm1", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bench", help="round-trip + timing over codecs")
+    b.add_argument("input")
+    b.add_argument("-i", "--codecs", help="comma-separated codec names")
+    b.add_argument("-n", "--size", type=int, help="truncate input")
+    b.add_argument("-r", "--reps", type=int, default=1)
+    b.set_defaults(fn=cmd_bench)
+
+    c = sub.add_parser("c", help="compress")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("-c", "--codec", default="rans-cdf-o0")
+    c.set_defaults(fn=cmd_compress)
+
+    d = sub.add_parser("d", help="decompress")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.set_defaults(fn=cmd_decompress)
+
+    ls = sub.add_parser("ls", help="list codecs")
+    ls.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Shared host-side block shaping and lane-stream packing."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def K_for(n: int, lanes: int, step_quant: int) -> int:
+    """Per-lane symbol count: ceil(n/lanes) padded to step_quant (>= 1 step)."""
+    K = -(-n // lanes)
+    return max(-(-K // step_quant) * step_quant, step_quant)
+
+
+def shape_block(data: np.ndarray, lanes: int, step_quant: int):
+    """Pad + reshape flat bytes into [lanes, K] contiguous chunks."""
+    n = data.shape[0]
+    K = K_for(n, lanes, step_quant)
+    padded = np.zeros(lanes * K, np.uint8)
+    padded[:n] = data
+    return padded.reshape(lanes, K).astype(np.int32), K
+
+
+def pack(streams: np.ndarray, lengths: np.ndarray) -> bytes:
+    """[L, M] word matrix + [L] lengths -> payload bytes."""
+    if lengths.max() > 0xFFFF:
+        raise ValueError("lane stream exceeds u16 length field")
+    keep = np.arange(streams.shape[1])[None, :] < lengths[:, None]
+    flat = streams[keep].astype(np.uint16)
+    return lengths.astype("<u2").tobytes() + flat.astype("<u2").tobytes()
+
+
+def unpack(payload: bytes, lanes: int, M: int) -> np.ndarray:
+    """payload -> [lanes, M] int32 word matrix (zero padded)."""
+    if len(payload) < 2 * lanes:
+        raise ValueError("corrupt payload: truncated lane length table")
+    lengths = np.frombuffer(payload[:2 * lanes], "<u2").astype(np.int64)
+    flat = np.frombuffer(payload[2 * lanes:len(payload) & ~1], "<u2")
+    if lengths.max() > M or lengths.min() < 2 or lengths.sum() != flat.size:
+        raise ValueError("corrupt payload: lane length table inconsistent")
+    streams = np.zeros((lanes, M), np.int32)
+    keep = np.arange(M)[None, :] < lengths[:, None]
+    streams[keep] = flat
+    return streams

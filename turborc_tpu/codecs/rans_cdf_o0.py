@@ -37,28 +37,38 @@ def _model_init(L: int):
     return cdf16.init((L,)), cdf16.init((L, 16))
 
 
+# byte-columns processed per scan iteration: amortizes the fixed per-step
+# cost of a TPU while-loop iteration over UNROLL x L symbols.
+UNROLL = 16
+
+
 @functools.partial(jax.jit, static_argnames=("K",))
 def encode_device(block: jnp.ndarray, K: int):
     """block [L, K] int32 bytes -> (streams [L, 2K+2] i32, lengths [L])."""
     L = block.shape[0]
-    cols = block.T  # [K, L] scan over time
+    U = UNROLL if K % UNROLL == 0 else 1
+    cols = block.T.reshape(K // U, U, L)  # scan over time, U columns/step
 
-    def fwd(carry, b):
+    def fwd(carry, bs):
         cdf_hi, cdf_lo = carry
-        hi, lo = b >> 4, b & 15
-        low_h, fr_h = cdf16.lookup(cdf_hi, hi)
-        cdf_hi = cdf16.update(cdf_hi, low_h)
-        sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
-        row = _lo_row(cdf_lo, sel)
-        low_l, fr_l = cdf16.lookup(row, lo)
-        cdf_lo = _lo_put(cdf_lo, sel, row, cdf16.update(row, low_l))
-        return (cdf_hi, cdf_lo), (low_h, fr_h, low_l, fr_l)
+        outs = []
+        for u in range(bs.shape[0]):
+            b = bs[u]
+            hi, lo = b >> 4, b & 15
+            low_h, fr_h = cdf16.lookup(cdf_hi, hi)
+            cdf_hi = cdf16.update(cdf_hi, low_h)
+            sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
+            row = _lo_row(cdf_lo, sel)
+            low_l, fr_l = cdf16.lookup(row, lo)
+            cdf_lo = _lo_put(cdf_lo, sel, row, cdf16.update(row, low_l))
+            outs.append(jnp.stack([jnp.stack([low_h, fr_h]),
+                                   jnp.stack([low_l, fr_l])]))
+        # [U, 2(sym), 2(low/freq), L]
+        return (cdf_hi, cdf_lo), jnp.stack(outs)
 
-    _, (low_h, fr_h, low_l, fr_l) = jax.lax.scan(fwd, _model_init(L), cols)
-    # interleave hi/lo: symbol time s = 2t (hi), 2t+1 (lo)
-    lows = jnp.stack([low_h, low_l], axis=1).reshape(2 * K, L)
-    freqs = jnp.stack([fr_h, fr_l], axis=1).reshape(2 * K, L)
-    words, emit, state = rans.encode_backward(lows, freqs)
+    _, probs = jax.lax.scan(fwd, _model_init(L), cols)
+    probs = probs.reshape(2 * K, 2, L)  # symbol-time major
+    words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
     return rans.stitch(words, emit, state)
 
 
@@ -67,75 +77,60 @@ def decode_device(streams: jnp.ndarray, K: int):
     """streams [L, 2K+2] int32 words -> block [L, K] int32 bytes."""
     L = streams.shape[0]
     state, pos = rans.dec_init(streams)
+    U = UNROLL if K % UNROLL == 0 else 1
+
+    def nibble(cdf, state):
+        value = (state & rans.MASK15).astype(jnp.int32)
+        sym, low, freq = cdf16.search(cdf, value)
+        state = rans.dec_update(state, low, freq)
+        return sym, low, state
 
     def dec(carry, _):
         cdf_hi, cdf_lo, state, pos = carry
-        value = (state & rans.MASK15).astype(jnp.int32)
-        hi, low_h, fr_h = cdf16.search(cdf_hi, value)
-        state = rans.dec_update(state, low_h, fr_h)
-        cdf_hi = cdf16.update(cdf_hi, low_h)
-        state, pos = rans.dec_renorm(state, streams, pos)
+        outs = []
+        for _u in range(U):
+            hi, low_h, state = nibble(cdf_hi, state)
+            cdf_hi = cdf16.update(cdf_hi, low_h)
+            state, pos = rans.dec_renorm(state, streams, pos)
 
-        sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
-        row = _lo_row(cdf_lo, sel)
-        value = (state & rans.MASK15).astype(jnp.int32)
-        lo, low_l, fr_l = cdf16.search(row, value)
-        state = rans.dec_update(state, low_l, fr_l)
-        cdf_lo = _lo_put(cdf_lo, sel, row, cdf16.update(row, low_l))
-        state, pos = rans.dec_renorm(state, streams, pos)
-        return (cdf_hi, cdf_lo, state, pos), (hi << 4) | lo
+            sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
+            row = _lo_row(cdf_lo, sel)
+            lo, low_l, state = nibble(row, state)
+            cdf_lo = _lo_put(cdf_lo, sel, row, cdf16.update(row, low_l))
+            state, pos = rans.dec_renorm(state, streams, pos)
+            outs.append((hi << 4) | lo)
+        return (cdf_hi, cdf_lo, state, pos), jnp.stack(outs)
 
     cdf_hi, cdf_lo = _model_init(L)
     _, bytes_t = jax.lax.scan(dec, (cdf_hi, cdf_lo, state, pos), None,
-                              length=K)
-    return bytes_t.T  # [L, K]
+                              length=K // U)
+    return bytes_t.reshape(K, L).T  # [L, K]
 
 
 # ----------------------------------------------------------------------------
 # Host block API (fixed-shape padding, stream packing)
 # ----------------------------------------------------------------------------
 
-def _K_for(n: int, lanes: int, step_quant: int) -> int:
-    """Per-lane symbol count: ceil(n/lanes) padded to step_quant (>= 1 step)."""
-    K = -(-n // lanes)
-    return max(-(-K // step_quant) * step_quant, step_quant)
+from turborc_tpu.codecs import blockio
 
-
-def _shape_block(data: np.ndarray, lanes: int, step_quant: int):
-    n = data.shape[0]
-    K = _K_for(n, lanes, step_quant)
-    padded = np.zeros(lanes * K, np.uint8)
-    padded[:n] = data
-    return padded.reshape(lanes, K).astype(np.int32), K
+_K_for = blockio.K_for
+_shape_block = blockio.shape_block
+_pack = blockio.pack
+_unpack = blockio.unpack
 
 
 def encode_block(data: np.ndarray, lanes: int = 512,
-                 step_quant: int = 256) -> bytes:
+                 step_quant: int = 256, **_unused) -> bytes:
     """Encode one block -> payload bytes (lane lengths + stitched streams)."""
     block, K = _shape_block(data, lanes, step_quant)
     streams, lengths = encode_device(jnp.asarray(block), K)
-    streams = np.asarray(streams)
-    lengths = np.asarray(lengths)
-    if lengths.max() > 0xFFFF:
-        raise ValueError("lane stream exceeds u16 length field")
-    keep = np.arange(streams.shape[1])[None, :] < lengths[:, None]
-    flat = streams[keep].astype(np.uint16)
-    return lengths.astype("<u2").tobytes() + flat.astype("<u2").tobytes()
+    return _pack(np.asarray(streams), np.asarray(lengths))
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 512,
-                 step_quant: int = 256) -> np.ndarray:
+                 step_quant: int = 256, **_unused) -> np.ndarray:
     """Decode one block payload back to n bytes."""
     K = _K_for(n, lanes, step_quant)
-    if len(payload) < 2 * lanes:
-        raise ValueError("corrupt payload: truncated lane length table")
-    lengths = np.frombuffer(payload[:2 * lanes], "<u2").astype(np.int64)
-    flat = np.frombuffer(payload[2 * lanes:len(payload) & ~1], "<u2")
-    M = 2 * K + 2
-    if lengths.max() > M or lengths.min() < 2 or lengths.sum() != flat.size:
-        raise ValueError("corrupt payload: lane length table inconsistent")
-    streams = np.zeros((lanes, M), np.int32)
-    keep = np.arange(M)[None, :] < lengths[:, None]
-    streams[keep] = flat
+    streams = _unpack(payload, lanes, 2 * K + 2)
     block = np.asarray(decode_device(jnp.asarray(streams), K))
     return block.astype(np.uint8).reshape(-1)[:n]

@@ -1,0 +1,142 @@
+"""Bitwise byte codecs: order-0 / order-1 binary-tree models over any
+adaptive bit predictor - the `rc` / `rcc` families of the reference
+(rc_.c:37-65 / :187-211, models mb_o0.h:89-112).
+
+A byte x is coded as 8 bits MSB->LSB; the predictor slot for bit i is the
+tree node x>>(8-i) | prefix (node index 1..255), optionally offset by a
+byte context (order-1: previous byte).  Lane-parallel: every lane owns its
+own [N] predictor table and rANS state; the coding side rides
+ops/rans.encode_backward exactly like the CDF codecs (forward model pass ->
+backward coding pass -> compaction).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turborc_tpu.models import bitpred
+from turborc_tpu.ops import binary, rans
+
+UNROLL = 8
+
+
+def _ctx_slots(order: int) -> int:
+    return 256 if order == 0 else 256 * 256
+
+
+def _fwd_byte(pred, state, ctx, b):
+    """Model one byte column: returns (state', probs [8, L], bits [8, L])."""
+    probs, bits = [], []
+    node = jnp.ones_like(b)
+    for i in range(7, -1, -1):
+        idx = ctx * 256 + node
+        p = binary.clamp_p(pred.predict(state, idx))
+        bit = (b >> i) & 1
+        state = pred.update(state, idx, p, bit.astype(jnp.bool_))
+        probs.append(p)
+        bits.append(bit)
+        node = (node << 1) | bit
+    return state, jnp.stack(probs), jnp.stack(bits)
+
+
+def _dec_byte(pred, state, ctx, ans_state, streams, pos):
+    node = jnp.ones_like(ctx)
+    for _ in range(8):
+        idx = ctx * 256 + node
+        p = binary.clamp_p(pred.predict(state, idx))
+        bit, ans_state = binary.dec_bit(ans_state, p)
+        state = pred.update(state, idx, p, bit)
+        ans_state, pos = rans.dec_renorm(ans_state, streams, pos)
+        node = (node << 1) | bit.astype(jnp.int32)
+    return state, node & 0xFF, ans_state, pos
+
+
+@functools.partial(jax.jit, static_argnames=("K", "order", "pred_name",
+                                              "prm0", "prm1"))
+def encode_device(block: jnp.ndarray, K: int, order: int = 0,
+                  pred_name: str = "s", prm0: int = 5, prm1: int = 8):
+    L = block.shape[0]
+    pred = bitpred.make(pred_name, prm0, prm1)
+    U = UNROLL if K % UNROLL == 0 else 1
+    cols = block.T.reshape(K // U, U, L)
+
+    def fwd(carry, bs):
+        state, ctx = carry
+        ps, bts = [], []
+        for u in range(bs.shape[0]):
+            b = bs[u]
+            state, probs, bits = _fwd_byte(pred, state, ctx, b)
+            ctx = b if order else ctx
+            ps.append(probs)
+            bts.append(bits)
+        return (state, ctx), (jnp.stack(ps), jnp.stack(bts))
+
+    init = (pred.init(L, _ctx_slots(order)), jnp.zeros((L,), jnp.int32))
+    _, (probs, bits) = jax.lax.scan(fwd, init, cols)
+    probs = probs.reshape(8 * K, L)
+    bits = bits.reshape(8 * K, L).astype(jnp.bool_)
+    lows, freqs = binary.to_low_freq(probs, bits)
+    words, emit, st = rans.encode_backward(lows, freqs)
+    return rans.stitch(words, emit, st)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "order", "pred_name",
+                                              "prm0", "prm1"))
+def decode_device(streams: jnp.ndarray, K: int, order: int = 0,
+                  pred_name: str = "s", prm0: int = 5, prm1: int = 8):
+    L = streams.shape[0]
+    pred = bitpred.make(pred_name, prm0, prm1)
+    ans_state, pos = rans.dec_init(streams)
+    U = UNROLL if K % UNROLL == 0 else 1
+
+    def dec(carry, _):
+        state, ctx, ans_state, pos = carry
+        outs = []
+        for _u in range(U):
+            state, byte, ans_state, pos = _dec_byte(
+                pred, state, ctx, ans_state, streams, pos)
+            ctx = byte if order else ctx
+            outs.append(byte)
+        return (state, ctx, ans_state, pos), jnp.stack(outs)
+
+    init = (pred.init(L, _ctx_slots(order)), jnp.zeros((L,), jnp.int32),
+            ans_state, pos)
+    _, bytes_t = jax.lax.scan(dec, init, None, length=K // U)
+    return bytes_t.reshape(K, L).T
+
+
+# ---------------------------------------------------------------------------
+# host block API - shared shape/packing logic with the CDF codec
+# ---------------------------------------------------------------------------
+
+from turborc_tpu.codecs import rans_cdf_o0 as _base
+
+
+def _make_block_api(order: int, pred_name: str):
+    def encode_block(data: np.ndarray, lanes: int = 512,
+                     step_quant: int = 256, prm0: int = 5,
+                     prm1: int = 8) -> bytes:
+        block, K = _base._shape_block(data, lanes, step_quant)
+        streams, lengths = encode_device(
+            jnp.asarray(block), K, order, pred_name, prm0, prm1)
+        return _base._pack(np.asarray(streams), np.asarray(lengths))
+
+    def decode_block(payload: bytes, n: int, lanes: int = 512,
+                     step_quant: int = 256, prm0: int = 5,
+                     prm1: int = 8) -> np.ndarray:
+        K = _base._K_for(n, lanes, step_quant)
+        streams = _base._unpack(payload, lanes, 8 * K + 2)
+        block = np.asarray(decode_device(
+            jnp.asarray(streams), K, order, pred_name, prm0, prm1))
+        return block.astype(np.uint8).reshape(-1)[:n]
+
+    return encode_block, decode_block
+
+
+rc_s_encode, rc_s_decode = _make_block_api(0, "s")
+rcc_s_encode, rcc_s_decode = _make_block_api(1, "s")
+rc_ss_encode, rc_ss_decode = _make_block_api(0, "ss")
+rcc_ss_encode, rcc_ss_decode = _make_block_api(1, "ss")

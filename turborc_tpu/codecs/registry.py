@@ -52,11 +52,23 @@ def _lazy_init():
     """Import codec modules (registration side effects)."""
     if _BY_NAME:
         return
-    from turborc_tpu.codecs import rans_cdf_o0
+    from turborc_tpu.codecs import rans_cdf_o0, rans_static, rc_bit
+
+    register(42, "rans-static", rans_static.encode_block,
+             rans_static.decode_block,
+             "static-CDF byte rANS, per-block histogram (ref cdfs ids 42-45)")
 
     register(56, "rans-cdf-o0", rans_cdf_o0.encode_block,
              rans_cdf_o0.decode_block,
              "adaptive CDF16 nibble-pair rANS, order 0 (ref anscdf id 56)")
+    register(1, "rc-o0", rc_bit.rc_s_encode, rc_bit.rc_s_decode,
+             "bitwise order-0, simple predictor (ref rc id 1)")
+    register(2, "rcc-o1", rc_bit.rcc_s_encode, rc_bit.rcc_s_decode,
+             "bitwise order-1, simple predictor (ref rcc id 2)")
+    register(101, "rc-o0-ss", rc_bit.rc_ss_encode, rc_bit.rc_ss_decode,
+             "bitwise order-0, dual-speed predictor (ref rc -pss)")
+    register(102, "rcc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode,
+             "bitwise order-1, dual-speed predictor (ref rcc -pss)")
 
 
 _lazy_init()

@@ -1,0 +1,51 @@
+"""ctypes bindings for the native host library."""
+from __future__ import annotations
+
+import ctypes
+import functools
+
+import numpy as np
+
+from turborc_tpu.host import build as _build
+
+
+@functools.lru_cache(maxsize=1)
+def load() -> ctypes.CDLL:
+    lib = ctypes.CDLL(str(_build.build()))
+    lib.trc_bwt.restype = ctypes.c_int64
+    lib.trc_bwt.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.trc_unbwt.restype = ctypes.c_int
+    lib.trc_unbwt.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_int64, ctypes.c_int64]
+    lib.trc_sais.restype = ctypes.c_int
+    lib.trc_sais.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    return lib
+
+
+def bwt(data: np.ndarray):
+    """Burrows-Wheeler transform; returns (bwt bytes, primary index)."""
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty_like(data)
+    p = load().trc_bwt(data.ctypes.data, out.ctypes.data, data.shape[0])
+    if p < 0:
+        raise ValueError("bwt failed (input too large?)")
+    return out, int(p)
+
+
+def unbwt(data: np.ndarray, primary: int) -> np.ndarray:
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty_like(data)
+    rc = load().trc_unbwt(data.ctypes.data, out.ctypes.data, data.shape[0],
+                          primary)
+    if rc != 0:
+        raise ValueError("unbwt failed: corrupt input or bad primary index")
+    return out
+
+
+def suffix_array(data: np.ndarray) -> np.ndarray:
+    """SA of data + sentinel; length n+1, sa[0] == n."""
+    data = np.ascontiguousarray(data, np.uint8)
+    sa = np.empty(data.shape[0] + 1, np.int32)
+    if load().trc_sais(data.ctypes.data, sa.ctypes.data, data.shape[0]) != 0:
+        raise ValueError("sais failed")
+    return sa
