@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# some installed pytest plugin imports jax before this conftest runs, and
+# jax binds JAX_PLATFORMS into its config at import time - override it
+# directly (backends are not initialized yet at collection time).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,47 @@
+"""BWT host stage + full pipeline codec."""
+import numpy as np
+import pytest
+
+from turborc_tpu import CodecConfig, compress, decompress
+from turborc_tpu.host import native
+
+
+def test_bwt_roundtrip_cases(rng):
+    for data in (b"banana", b"abracadabra" * 20, bytes(range(256)),
+                 bytes(rng.integers(0, 4, 30000).astype(np.uint8))):
+        arr = np.frombuffer(data, np.uint8)
+        b, p = native.bwt(arr)
+        np.testing.assert_array_equal(native.unbwt(b, p), arr)
+
+
+def test_bwt_known_value():
+    # BWT of "banana" (sentinel convention): rows sorted with $ smallest
+    arr = np.frombuffer(b"banana", np.uint8)
+    b, p = native.bwt(arr)
+    assert bytes(b) == b"annbaa" and p == 4
+
+
+def test_suffix_array_sorted(rng):
+    data = rng.integers(0, 8, 400).astype(np.uint8)
+    sa = native.suffix_array(data)
+    s = bytes(data)
+    for i in range(len(sa) - 1):
+        assert s[sa[i]:] < s[sa[i + 1]:] or sa[i] == len(s)
+
+
+@pytest.mark.parametrize("level", [3, 5, 8])
+def test_pipeline_roundtrip(corpora, level):
+    data = corpora["text"][:12000]
+    cfg = CodecConfig(codec="rcbwt", lanes=16, block_size=1 << 14,
+                      step_quant=64, level=level, prm0=4, prm1=7)
+    blob = compress(data, cfg)
+    assert decompress(blob) == data.tobytes()
+    assert len(blob) < data.shape[0]
+
+
+def test_rcx_roundtrip(corpora):
+    data = corpora["text"][:8000]
+    cfg = CodecConfig(codec="rcx", lanes=8, block_size=1 << 14,
+                      step_quant=64, ctx_bits=8)
+    blob = compress(data, cfg)
+    assert decompress(blob) == data.tobytes()

@@ -23,12 +23,14 @@ def compress(data, cfg: CodecConfig | None = None) -> bytes:
     arr = _as_bytes_array(data)
     out = [fmt.write_header(codec.codec_id, cfg.lanes, cfg.step_quant,
                             cfg.block_size, arr.shape[0], cfg.prm0,
-                            cfg.prm1)]
+                            cfg.prm1, cfg.ctx_bits)]
     for off in range(0, max(arr.shape[0], 1), cfg.block_size):
         blk = arr[off:off + cfg.block_size]
         payload = codec.encode_block(blk, lanes=cfg.lanes,
                                      step_quant=cfg.step_quant,
-                                     prm0=cfg.prm0, prm1=cfg.prm1)
+                                     prm0=cfg.prm0, prm1=cfg.prm1,
+                                     level=cfg.level,
+                                     ctx_bits=cfg.ctx_bits)
         stored = len(payload) >= blk.shape[0]
         if stored:
             payload = blk.tobytes()
@@ -50,7 +52,8 @@ def decompress(buf: bytes) -> bytes:
         else:
             blk = codec.decode_block(payload, n, lanes=hdr["lanes"],
                                      step_quant=step_quant,
-                                     prm0=hdr["prm0"], prm1=hdr["prm1"])
+                                     prm0=hdr["prm0"], prm1=hdr["prm1"],
+                                     ctx_bits=hdr["ctx_bits"])
         if zlib.crc32(blk.tobytes()) != crc:
             raise ValueError("block crc mismatch: corrupt stream or decoder bug")
         out.append(blk.tobytes())

@@ -1,0 +1,63 @@
+"""BWT compression pipeline (reference rcbwt.c:33-152, bench id 20).
+
+Host stage: our clean-room SA-IS BWT (host/sais.cpp) replaces the
+reference's libsais/libdivsufsort dependency.  TPU stage: the BWT output
+(run-structured) goes through a lane-interleaved entropy codec selected by
+`level`, mirroring rcbwt.c:83-94's level switch:
+
+  level 0: store    3/4: rcrle    5/6: bitwise o1 (dual-speed)
+  7/8: adaptive-CDF rANS   (QLFC and bec stages arrive with those codecs)
+
+Payload: u64 primary index + u8 stage id + stage payload.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from turborc_tpu.codecs import rans_cdf_o0, rc_bit, rle
+from turborc_tpu.host import native
+
+_STAGES = {
+    2: ("rle", rle.encode_block, rle.decode_block),
+    3: ("rle", rle.encode_block, rle.decode_block),
+    4: ("rle", rle.encode_block, rle.decode_block),
+    5: ("rc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode),
+    6: ("rc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode),
+    7: ("rans-cdf", rans_cdf_o0.encode_block, rans_cdf_o0.decode_block),
+    8: ("rans-cdf", rans_cdf_o0.encode_block, rans_cdf_o0.decode_block),
+}
+_STAGE_IDS = {2: 2, 3: 2, 4: 2, 5: 5, 6: 5, 7: 7, 8: 7}
+_BY_STAGE_ID = {2: _STAGES[2], 5: _STAGES[5], 7: _STAGES[7]}
+
+
+def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
+                 prm0: int = 4, prm1: int = 7, level: int = 8,
+                 **_unused) -> bytes:
+    if data.shape[0] == 0:
+        return struct.pack("<QB", 0, 0)
+    bwt_data, primary = native.bwt(data)
+    stage_id = _STAGE_IDS.get(level, 7)
+    _, enc, _ = _BY_STAGE_ID[stage_id]
+    payload = enc(bwt_data, lanes=lanes, step_quant=step_quant,
+                  prm0=prm0, prm1=prm1)
+    if len(payload) >= data.shape[0]:
+        stage_id, payload = 0, bwt_data.tobytes()
+    return struct.pack("<QB", primary, stage_id) + payload
+
+
+def decode_block(payload: bytes, n: int, lanes: int = 512,
+                 step_quant: int = 256, prm0: int = 4, prm1: int = 7,
+                 **_unused) -> np.ndarray:
+    primary, stage_id = struct.unpack_from("<QB", payload)
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    body = payload[9:]
+    if stage_id == 0:
+        bwt_data = np.frombuffer(body, np.uint8)[:n]
+    else:
+        _, _, dec = _BY_STAGE_ID[stage_id]
+        bwt_data = dec(body, n, lanes=lanes, step_quant=step_quant,
+                       prm0=prm0, prm1=prm1)
+    return native.unbwt(bwt_data, primary)

@@ -1,0 +1,381 @@
+"""Integer coders: gamma, rice, u3 (segmented varint), Turbo-VLC.
+
+Reference counterparts (SURVEY.md section 2.4): rcg/rcgz (mb_vint.h:85-135),
+rcr/rcrz with adaptive Rice parameter k=bsr32(ema+1), ema=(63*ema+x+16)>>6
+(rc_.c:632-731, rcutil_.h:126-127), rcu3 (mb_vint.h:235-263, rc_.c:439-462),
+rcv (mb_vint.h:214-232).
+
+All are built as "slotted" codecs (ops/slotted.py): every element of width
+W bits compiles to a fixed slot budget of masked binary decisions; the
+probability models match the reference's layout:
+  gamma: mg0 flag + mgu[W] unary + mgb[W][W] mantissa-with-length-context
+  rice:  mgu unary quotient (limited qmax=12 + escape) + mgb mantissa
+  u3:    3 flag models + three binary-tree value models (1/3/5/8 bits)
+Zigzag/delta variants are the same coders behind transforms/ (applied by
+the registry wrappers).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turborc_tpu.codecs import blockio
+from turborc_tpu.ops import binary, rans, slotted
+
+RICEMAX = 12
+
+
+# ---------------------------------------------------------------------------
+# gamma
+# ---------------------------------------------------------------------------
+
+def _gamma_models(L, W):
+    # [0] = mg0, [1..W] = mgu, [1+W ...] = mgb[gb-1][gi]
+    return slotted.ModelTable(L, 1 + W + W * W)
+
+
+def _gamma_enc(rec, m, v, W, raw_mantissa=False, active=None):
+    """Gamma-code v (W-bit value) into slots; _x = v+1.
+
+    raw_mantissa=True is the Turbo-VLC trade (mb_vint.h:214-232 /
+    vlcbit.h): mantissa bits cost exactly 1 bit each (fixed p=1/2, no
+    model) - faster and smaller state, slightly worse ratio.
+    `active` masks the whole symbol (for composing codecs, e.g. RLE runs).
+    """
+    x = v + 1
+    gb = slotted.bitlen(x, W + 1) - 1  # floor(log2(x)), 0..W
+    one = (jnp.ones_like(v, jnp.bool_) if active is None
+           else active.astype(jnp.bool_))
+    rec.code(m, jnp.zeros_like(v), x == 1, one)
+    has = one & (gb >= 1)
+    for u in range(W):
+        rec.code(m, 1 + jnp.full_like(v, u), u == gb - 1,
+                 has & (u < gb))
+    for j in range(W):
+        gi = gb - 1 - j
+        bit = (x >> jnp.maximum(gi, 0)) & 1
+        act = has & (j < gb)
+        if raw_mantissa:
+            rec.code_raw(bit, act)
+        else:
+            rec.code(m, 1 + W + (gb - 1) * W + gi, bit, act)
+
+
+def _gamma_dec(dec, m, W, like, raw_mantissa=False, active=None):
+    zero = jnp.zeros_like(like)
+    one = (jnp.ones_like(like, jnp.bool_) if active is None
+           else active.astype(jnp.bool_))
+    is_one = dec.read(m, zero, one)
+    active = one & ~is_one
+    gb = jnp.zeros_like(like)
+    ufin = jnp.zeros_like(like, jnp.bool_)
+    for u in range(W):
+        a = active & ~ufin
+        bit = dec.read(m, 1 + jnp.full_like(like, u), a)
+        ufin = ufin | bit
+        gb = gb + (a & ~bit).astype(like.dtype)
+    gb = gb + 1  # unary coded gb-1
+    x = jnp.ones_like(like)
+    for j in range(W):
+        a = active & (j < gb)
+        gi = gb - 1 - j
+        if raw_mantissa:
+            bit = dec.read_raw(a)
+        else:
+            bit = dec.read(m, 1 + W + (gb - 1) * W + gi, a)
+        x = jnp.where(a, (x << 1) | bit.astype(like.dtype), x)
+    return jnp.where(is_one, 0, x - 1)
+
+
+# ---------------------------------------------------------------------------
+# rice (adaptive k via EMA, limited quotient with escape)
+# ---------------------------------------------------------------------------
+
+def _rice_models(L, W):
+    # [0..32] = mgu, then mgb[ctx][gi] with ctx = bsr32(q+1)+1 in [1, W+1]
+    GU = 33
+    return slotted.ModelTable(L, GU + (W + 2) * 33)
+
+
+def _rice_qslots(W):
+    # worst-case unary length: qmax + bitlen(qmax escape) + stop bit
+    return RICEMAX + W + 2
+
+
+def _rice_enc(rec, m, v, ema, W):
+    GU = 33
+    k = slotted.bitlen(ema + 1, W + 1) - 1  # RICEK(ema) = bsr32(ema+1)
+    q = v >> k
+    qx = q - RICEMAX
+    esc = q > RICEMAX
+    qb = slotted.bitlen(jnp.maximum(qx, 1), W + 1)
+    ulen = jnp.where(esc, RICEMAX + qb, q)  # unary-coded value
+    for u in range(_rice_qslots(W)):
+        rec.code(m, jnp.full_like(v, u), u == ulen, u <= ulen)
+    for j in range(W):  # escape payload: qb-1 bits of qx (msb dropped)
+        gi = qb - 2 - j
+        rec.code(m, GU + jnp.maximum(gi, 0),
+                 (qx >> jnp.maximum(gi, 0)) & 1, esc & (j < qb - 1))
+    ctx = slotted.bitlen(q + 1, W + 2)  # bsr32(q+1)+1
+    for j in range(W):  # k low bits of v
+        gi = k - 1 - j
+        rec.code(m, GU + ctx * 33 + jnp.maximum(gi, 0),
+                 (v >> jnp.maximum(gi, 0)) & 1, j < k)
+    return (63 * ema + v + 16) >> 6  # EMA(6, ema, 63, x), rcutil_.h:126
+
+
+def _rice_dec(dec, m, ema, W, like):
+    GU = 33
+    k = slotted.bitlen(ema + 1, W + 1) - 1
+    one = jnp.ones_like(like, jnp.bool_)
+    ufin = jnp.zeros_like(like, jnp.bool_)
+    ulen = jnp.zeros_like(like)
+    for u in range(_rice_qslots(W)):
+        a = ~ufin
+        bit = dec.read(m, jnp.full_like(like, u), a)
+        ufin = ufin | bit
+        ulen = ulen + (a & ~bit).astype(like.dtype)
+    esc = ulen > RICEMAX
+    qb = jnp.where(esc, ulen - RICEMAX, 0)
+    qx = jnp.ones_like(like)
+    for j in range(W):
+        a = esc & (j < qb - 1)
+        gi = qb - 2 - j
+        bit = dec.read(m, GU + jnp.maximum(gi, 0), a)
+        qx = jnp.where(a, (qx << 1) | bit.astype(like.dtype), qx)
+    q = jnp.where(esc, qx + RICEMAX, ulen)
+    ctx = slotted.bitlen(q + 1, W + 2)
+    v = q << k
+    for j in range(W):
+        a = j < k
+        gi = k - 1 - j
+        bit = dec.read(m, GU + ctx * 33 + jnp.maximum(gi, 0), a)
+        v = jnp.where(a, v | (bit.astype(like.dtype) << jnp.maximum(gi, 0)),
+                      v)
+    return v, (63 * ema + v + 16) >> 6
+
+
+# ---------------------------------------------------------------------------
+# u3 segmented varint: 0 / 01xxx / 000xxxxx / 001xxxxxxxx (mb_vint.h:235)
+# ---------------------------------------------------------------------------
+
+_U3 = (3, 5, 8)          # segment payload bits
+_U3_BASE = (1, 9, 41)    # value range starts (0 alone in segment -1)
+
+
+def _u3_models(L):
+    # flags [0..2], then tree models per segment (2^nb slots each)
+    n = 3
+    offs = []
+    for nb in _U3:
+        offs.append(n)
+        n += 1 << nb
+    return slotted.ModelTable(L, n), tuple(offs)
+
+
+def _u3_seg(v):
+    s0 = v == 0
+    s1 = (v >= 1) & (v < 9)
+    s2 = (v >= 9) & (v < 41)
+    # segment index: -1 for zero, else 0/1/2
+    return s0, jnp.where(s1, 0, jnp.where(s2, 1, 2))
+
+
+def _u3_enc(rec, m, offs, v):
+    one = jnp.ones_like(v, jnp.bool_)
+    s0, seg = _u3_seg(v)
+    # flags: f0 = (v==0); else f1 = (seg==0); else f2 = (seg==2)
+    rec.code(m, jnp.zeros_like(v), s0, one)
+    rec.code(m, jnp.ones_like(v), seg == 0, ~s0)
+    rec.code(m, jnp.full_like(v, 2), seg == 2, ~s0 & (seg != 0))
+    base = jnp.where(seg == 0, _U3_BASE[0],
+                     jnp.where(seg == 1, _U3_BASE[1], _U3_BASE[2]))
+    off = jnp.where(seg == 0, offs[0],
+                    jnp.where(seg == 1, offs[1], offs[2]))
+    x = v - base
+    for si, nb in enumerate(_U3):
+        node = jnp.ones_like(v)
+        for i in range(nb - 1, -1, -1):
+            a = ~s0 & (seg == si)
+            bit = (x >> i) & 1
+            rec.code(m, off + node, bit, a)
+            node = (node << 1) | bit
+    return
+
+
+def _u3_dec(dec, m, offs, like):
+    one = jnp.ones_like(like, jnp.bool_)
+    f0 = dec.read(m, jnp.zeros_like(like), one)
+    f1 = dec.read(m, jnp.ones_like(like), ~f0)
+    f2 = dec.read(m, jnp.full_like(like, 2), ~f0 & ~f1)
+    seg = jnp.where(f1, 0, jnp.where(f2, 2, 1))
+    x = jnp.zeros_like(like)
+    for si, nb in enumerate(_U3):
+        a = ~f0 & (seg == si)
+        node = jnp.ones_like(like)
+        for i in range(nb - 1, -1, -1):
+            bit = dec.read(m, offs[si] + node, a)
+            node = jnp.where(a, (node << 1) | bit.astype(like.dtype), node)
+        x = jnp.where(a, node - (1 << nb), x)
+    base = jnp.where(seg == 0, _U3_BASE[0],
+                     jnp.where(seg == 1, _U3_BASE[1], _U3_BASE[2]))
+    return jnp.where(f0, 0, x + base)
+
+
+# ---------------------------------------------------------------------------
+# device scans + block API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("K", "kind", "W"))
+def encode_device(block: jnp.ndarray, K: int, kind: str, W: int = 8):
+    L = block.shape[0]
+    cols = block.T  # [K, L]
+    if kind in ("gamma", "vlc"):
+        m0 = _gamma_models(L, W)
+        nslots = 1 + 2 * W
+        raw = kind == "vlc"
+
+        def body(carry, v):
+            m = slotted.ModelTable.from_state(carry)
+            rec = slotted.Recorder()
+            _gamma_enc(rec, m, v, W, raw_mantissa=raw)
+            return m.t, rec.slots()
+
+        init = m0.t
+    elif kind == "rice":
+        m0 = _rice_models(L, W)
+        nslots = _rice_qslots(W) + 2 * W
+
+        def body(carry, v):
+            t, ema = carry
+            m = slotted.ModelTable.from_state(t)
+            rec = slotted.Recorder()
+            ema = _rice_enc(rec, m, v, ema, W)
+            return (m.t, ema), rec.slots()
+
+        init = (m0.t, jnp.zeros((L,), jnp.int32))
+    elif kind == "u3":
+        m0, offs = _u3_models(L)
+        nslots = 3 + sum(_U3)
+
+        def body(carry, v):
+            m = slotted.ModelTable.from_state(carry)
+            rec = slotted.Recorder()
+            _u3_enc(rec, m, offs, v)
+            return m.t, rec.slots()
+
+        init = m0.t
+    else:
+        raise ValueError(kind)
+
+    _, (probs, bits, valids) = jax.lax.scan(body, init, cols)
+    S = K * nslots
+    lows, freqs = binary.to_low_freq(probs.reshape(S, L),
+                                     bits.reshape(S, L))
+    words, emit, st = rans.encode_backward(lows, freqs, valids.reshape(S, L))
+    return rans.stitch(words, emit, st)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "kind", "W"))
+def decode_device(streams: jnp.ndarray, K: int, kind: str, W: int = 8):
+    L = streams.shape[0]
+    state, pos = rans.dec_init(streams)
+    like = jnp.zeros((L,), jnp.int32)
+
+    if kind in ("gamma", "vlc"):
+        m0 = _gamma_models(L, W)
+        raw = kind == "vlc"
+
+        def body(carry, _):
+            t, state, pos = carry
+            m = slotted.ModelTable.from_state(t)
+            dec = slotted.Decoder(state, pos, streams)
+            v = _gamma_dec(dec, m, W, like, raw_mantissa=raw)
+            state, pos = dec.carry()
+            return (m.t, state, pos), v
+
+        init = (m0.t, state, pos)
+    elif kind == "rice":
+        m0 = _rice_models(L, W)
+
+        def body(carry, _):
+            t, ema, state, pos = carry
+            m = slotted.ModelTable.from_state(t)
+            dec = slotted.Decoder(state, pos, streams)
+            v, ema = _rice_dec(dec, m, ema, W, like)
+            state, pos = dec.carry()
+            return (m.t, ema, state, pos), v
+
+        init = (m0.t, jnp.zeros((L,), jnp.int32), state, pos)
+    elif kind == "u3":
+        m0, offs = _u3_models(L)
+
+        def body(carry, _):
+            t, state, pos = carry
+            m = slotted.ModelTable.from_state(t)
+            dec = slotted.Decoder(state, pos, streams)
+            v = _u3_dec(dec, m, offs, like)
+            state, pos = dec.carry()
+            return (m.t, state, pos), v
+
+        init = (m0.t, state, pos)
+    else:
+        raise ValueError(kind)
+
+    _, vals = jax.lax.scan(body, init, None, length=K)
+    return vals.T  # [L, K]
+
+
+def _slots_per_elem(kind, W):
+    if kind in ("gamma", "vlc"):
+        return 1 + 2 * W
+    if kind == "rice":
+        return _rice_qslots(W) + 2 * W
+    if kind == "u3":
+        return 3 + sum(_U3)
+    raise ValueError(kind)
+
+
+def make_block_api(kind: str, esize: int = 1):
+    """Build (encode_block, decode_block) for an integer codec.
+
+    esize: element width in bytes (1 or 2); multi-byte elements are
+    little-endian in the byte stream.
+    """
+    W = 8 * esize
+
+    def encode_block(data: np.ndarray, lanes: int = 512,
+                     step_quant: int = 64, **_unused) -> bytes:
+        elems = _to_elems(data, esize)
+        block, K = blockio.shape_block_elems(elems, lanes, step_quant)
+        streams, lengths = encode_device(jnp.asarray(block), K, kind, W)
+        return blockio.pack(np.asarray(streams), np.asarray(lengths))
+
+    def decode_block(payload: bytes, n: int, lanes: int = 512,
+                     step_quant: int = 64, **_unused) -> np.ndarray:
+        n_elems = -(-n // esize)
+        K = blockio.K_for(n_elems, lanes, step_quant)
+        M = _slots_per_elem(kind, W) * K + 2
+        streams = blockio.unpack(payload, lanes, M)
+        vals = np.asarray(decode_device(jnp.asarray(streams), K, kind, W))
+        return _from_elems(vals.reshape(-1)[:n_elems], esize)[:n]
+
+    return encode_block, decode_block
+
+
+def _to_elems(data: np.ndarray, esize: int) -> np.ndarray:
+    if esize == 1:
+        return data.astype(np.int32)
+    pad = (-data.shape[0]) % esize
+    if pad:
+        data = np.concatenate([data, np.zeros(pad, np.uint8)])
+    return data.view(f"<u{esize}").astype(np.int32)
+
+
+def _from_elems(vals: np.ndarray, esize: int) -> np.ndarray:
+    if esize == 1:
+        return vals.astype(np.uint8)
+    return vals.astype(f"<u{esize}").view(np.uint8)

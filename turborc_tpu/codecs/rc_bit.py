@@ -118,7 +118,7 @@ from turborc_tpu.codecs import rans_cdf_o0 as _base
 def _make_block_api(order: int, pred_name: str):
     def encode_block(data: np.ndarray, lanes: int = 512,
                      step_quant: int = 256, prm0: int = 5,
-                     prm1: int = 8) -> bytes:
+                     prm1: int = 8, **_unused) -> bytes:
         block, K = _base._shape_block(data, lanes, step_quant)
         streams, lengths = encode_device(
             jnp.asarray(block), K, order, pred_name, prm0, prm1)
@@ -126,7 +126,7 @@ def _make_block_api(order: int, pred_name: str):
 
     def decode_block(payload: bytes, n: int, lanes: int = 512,
                      step_quant: int = 256, prm0: int = 5,
-                     prm1: int = 8) -> np.ndarray:
+                     prm1: int = 8, **_unused) -> np.ndarray:
         K = _base._K_for(n, lanes, step_quant)
         streams = _base._unpack(payload, lanes, 8 * K + 2)
         block = np.asarray(decode_device(
@@ -140,3 +140,119 @@ rc_s_encode, rc_s_decode = _make_block_api(0, "s")
 rcc_s_encode, rcc_s_decode = _make_block_api(1, "s")
 rc_ss_encode, rc_ss_decode = _make_block_api(0, "ss")
 rcc_ss_encode, rcc_ss_decode = _make_block_api(1, "ss")
+
+
+# ---------------------------------------------------------------------------
+# Sliding-context codec (rcx / rcx2): context length in BITS, nibble-split
+# (reference mb_on.h:24-65, rc_.c:376-435).  The context slides by 4 bits
+# per nibble; the hi nibble is keyed by cx, the lo nibble by (cx<<4 | hi).
+# Model: per lane, [2^(cxbits+1)] rows x [16] tree slots (hi rows first).
+# ---------------------------------------------------------------------------
+
+def _fwd_nibble(pred, state, row, nib):
+    probs, bits = [], []
+    node = jnp.ones_like(nib)
+    for i in range(3, -1, -1):
+        idx = row * 16 + node
+        p = binary.clamp_p(pred.predict(state, idx))
+        bit = (nib >> i) & 1
+        state = pred.update(state, idx, p, bit.astype(jnp.bool_))
+        probs.append(p)
+        bits.append(bit)
+        node = (node << 1) | bit
+    return state, probs, bits
+
+
+def _dec_nibble(pred, state, row, ans_state, streams, pos):
+    node = jnp.ones_like(row)
+    for _ in range(4):
+        idx = row * 16 + node
+        p = binary.clamp_p(pred.predict(state, idx))
+        bit, ans_state = binary.dec_bit(ans_state, p)
+        state = pred.update(state, idx, p, bit)
+        ans_state, pos = rans.dec_renorm(ans_state, streams, pos)
+        node = (node << 1) | bit.astype(jnp.int32)
+    return state, node & 0xF, ans_state, pos
+
+
+@functools.partial(jax.jit, static_argnames=("K", "ctx_bits", "pred_name",
+                                              "prm0", "prm1"))
+def rcx_encode_device(block: jnp.ndarray, K: int, ctx_bits: int = 8,
+                      pred_name: str = "s", prm0: int = 5, prm1: int = 8):
+    L = block.shape[0]
+    pred = bitpred.make(pred_name, prm0, prm1)
+    mask = (1 << ctx_bits) - 1
+    U = UNROLL if K % UNROLL == 0 else 1
+    cols = block.T.reshape(K // U, U, L)
+
+    def fwd(carry, bs):
+        state, cx = carry
+        ps, bts = [], []
+        for u in range(bs.shape[0]):
+            b = bs[u]
+            hi, lo = b >> 4, b & 15
+            state, p1, b1 = _fwd_nibble(pred, state, cx & mask, hi)
+            cx = ((cx << 4) | hi) & mask
+            state, p2, b2 = _fwd_nibble(
+                pred, state, (1 << ctx_bits) + (cx & mask), lo)
+            cx = ((cx << 4) | lo) & mask
+            ps.extend(p1 + p2)
+            bts.extend(b1 + b2)
+        return (state, cx), (jnp.stack(ps), jnp.stack(bts))
+
+    init = (pred.init(L, 16 << (ctx_bits + 1)), jnp.zeros((L,), jnp.int32))
+    _, (probs, bits) = jax.lax.scan(fwd, init, cols)
+    probs = probs.reshape(8 * K, L)
+    bits = bits.reshape(8 * K, L).astype(jnp.bool_)
+    lows, freqs = binary.to_low_freq(probs, bits)
+    words, emit, st = rans.encode_backward(lows, freqs)
+    return rans.stitch(words, emit, st)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "ctx_bits", "pred_name",
+                                              "prm0", "prm1"))
+def rcx_decode_device(streams: jnp.ndarray, K: int, ctx_bits: int = 8,
+                      pred_name: str = "s", prm0: int = 5, prm1: int = 8):
+    L = streams.shape[0]
+    pred = bitpred.make(pred_name, prm0, prm1)
+    ans_state, pos = rans.dec_init(streams)
+    mask = (1 << ctx_bits) - 1
+    U = UNROLL if K % UNROLL == 0 else 1
+
+    def dec(carry, _):
+        state, cx, ans_state, pos = carry
+        outs = []
+        for _u in range(U):
+            state, hi, ans_state, pos = _dec_nibble(
+                pred, state, cx & mask, ans_state, streams, pos)
+            cx = ((cx << 4) | hi) & mask
+            state, lo, ans_state, pos = _dec_nibble(
+                pred, state, (1 << ctx_bits) + (cx & mask), ans_state,
+                streams, pos)
+            cx = ((cx << 4) | lo) & mask
+            outs.append((hi << 4) | lo)
+        return (state, cx, ans_state, pos), jnp.stack(outs)
+
+    init = (pred.init(L, 16 << (ctx_bits + 1)), jnp.zeros((L,), jnp.int32),
+            ans_state, pos)
+    _, bytes_t = jax.lax.scan(dec, init, None, length=K // U)
+    return bytes_t.reshape(K, L).T
+
+
+def rcx_encode(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
+               prm0: int = 5, prm1: int = 8, ctx_bits: int = 8,
+               **_unused) -> bytes:
+    block, K = _base._shape_block(data, lanes, step_quant)
+    streams, lengths = rcx_encode_device(
+        jnp.asarray(block), K, ctx_bits, "s", prm0, prm1)
+    return _base._pack(np.asarray(streams), np.asarray(lengths))
+
+
+def rcx_decode(payload: bytes, n: int, lanes: int = 512,
+               step_quant: int = 256, prm0: int = 5, prm1: int = 8,
+               ctx_bits: int = 8, **_unused) -> np.ndarray:
+    K = _base._K_for(n, lanes, step_quant)
+    streams = _base._unpack(payload, lanes, 8 * K + 2)
+    block = np.asarray(rcx_decode_device(
+        jnp.asarray(streams), K, ctx_bits, "s", prm0, prm1))
+    return block.astype(np.uint8).reshape(-1)[:n]

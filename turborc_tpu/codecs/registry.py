@@ -70,5 +70,32 @@ def _lazy_init():
     register(102, "rcc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode,
              "bitwise order-1, dual-speed predictor (ref rcc -pss)")
 
+    from turborc_tpu.codecs import intcodecs, rle
+    from turborc_tpu.transforms import delta as _tf
+
+    register(13, "rcrle", rle.encode_block, rle.decode_block,
+             "RLE + order-0 literals + gamma runs (ref rcrle id 13)")
+    for kind, base_id, name in (("gamma", 26, "rcg"), ("rice", 28, "rcr"),
+                                ("vlc", 30, "rcv")):
+        for esize, suffix, off in ((1, "-8", 0), (2, "-16", 50)):
+            enc, dec = intcodecs.make_block_api(kind, esize)
+            register(base_id + off, f"{name}{suffix}", enc, dec,
+                     f"{kind} coder, {8*esize}-bit elements "
+                     f"(ref {name} ids 26-38)")
+            zenc, zdec = _tf.wrap_codec(enc, dec, _tf.zigzag_enc,
+                                        _tf.zigzag_dec, esize)
+            register(base_id + off + 1, f"{name}z{suffix}", zenc, zdec,
+                     f"zigzag-delta + {kind}, {8*esize}-bit elements")
+    enc, dec = intcodecs.make_block_api("u3", 1)
+    register(17, "rcu3", enc, dec,
+             "segmented varint 1/3/5/8 bits (ref rcu3 id 17)")
+
+    register(4, "rcx", rc_bit.rcx_encode, rc_bit.rcx_decode,
+             "sliding-context bitwise codec, ctx in bits (ref rcx ids 4-5)")
+
+    from turborc_tpu.codecs import bwt
+    register(20, "rcbwt", bwt.encode_block, bwt.decode_block,
+             "BWT (clean-room SA-IS) + entropy stage by level (ref id 20)")
+
 
 _lazy_init()

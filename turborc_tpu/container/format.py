@@ -15,7 +15,7 @@ Layout (all little-endian):
     u8   log2_lanes
     u8   log2_step_quant   (per-lane symbol count K is padded to this)
     u8   prm0, prm1        (predictor rate parameters)
-    u8   reserved
+    u8   ctx_bits          (sliding-context size for rcx codecs)
     u32  block_size
     u64  orig_len
     u32  header_crc32 (of the previous 24 bytes)
@@ -37,7 +37,7 @@ import numpy as np
 
 MAGIC = 0x54435254
 VERSION = 1
-_HDR = struct.Struct("<IBBBBBBBxIQ")
+_HDR = struct.Struct("<IBBBBBBBBIQ")
 _BHDR = struct.Struct("<IBI")
 
 BLK_STORED = 1
@@ -45,17 +45,17 @@ BLK_STORED = 1
 
 def write_header(codec_id: int, lanes: int, step_quant: int,
                  block_size: int, orig_len: int, prm0: int = 5,
-                 prm1: int = 8, flags: int = 0) -> bytes:
+                 prm1: int = 8, ctx_bits: int = 8, flags: int = 0) -> bytes:
     hdr = _HDR.pack(MAGIC, VERSION, codec_id, flags,
                     lanes.bit_length() - 1, step_quant.bit_length() - 1,
-                    prm0, prm1, block_size, orig_len)
+                    prm0, prm1, ctx_bits, block_size, orig_len)
     return hdr + struct.pack("<I", zlib.crc32(hdr))
 
 
 def read_header(buf: bytes):
     hdr = buf[:_HDR.size]
     (magic, version, codec_id, flags, log2_lanes, log2_step, prm0, prm1,
-     block_size, orig_len) = _HDR.unpack(hdr)
+     ctx_bits, block_size, orig_len) = _HDR.unpack(hdr)
     (crc,) = struct.unpack_from("<I", buf, _HDR.size)
     if magic != MAGIC:
         raise ValueError("bad magic: not a TRCT container")
@@ -65,7 +65,7 @@ def read_header(buf: bytes):
         raise ValueError("corrupt container header (crc mismatch)")
     return dict(codec_id=codec_id, flags=flags, lanes=1 << log2_lanes,
                 step_quant=1 << log2_step, prm0=prm0, prm1=prm1,
-                block_size=block_size, orig_len=orig_len,
+                ctx_bits=ctx_bits, block_size=block_size, orig_len=orig_len,
                 data_off=_HDR.size + 4)
 
 

@@ -1,0 +1,289 @@
+"""Pallas TPU kernels for the flagship adaptive-CDF rANS codec.
+
+Hardware constraints probed on this chip: no vector gathers, no unaligned
+minor-dim dynamic slices, no int16 vregs - but dynamic-offset DMA
+(HBM->VMEM) and pltpu.roll work.  The kernels are built gather-free.
+
+DECODE.  1024 lanes = 8 groups x 128 VPU lanes.  Each group owns one
+stream in *consumption order*: words appear exactly in the order the
+group's lanes renorm (step-major, lane-minor), so each nibble step reads a
+contiguous word run.  Group stream layout [R rows, 128]: rows 0-1 are the
+per-lane initial states (hi16, lo16), data words follow row-major.
+Per nibble step:
+
+  1. CDF16 search + state transition: elementwise 16-wide int32 VPU math
+     (the reference's AVX2 cdf16ansdec, cdf_.h:52-59, widened to 128 lanes)
+  2. renorm mask -> per-lane rank via a log2(128) prefix sum (pltpu.roll)
+  3. word fetch: the needed words are the next `count` of the group
+     stream; select from a 2-row (256-word) window via per-sublane
+     broadcast compare+sum - no gather
+  4. the window slides by dynamic-offset DMA once per grid step
+
+All arithmetic is int32 (freq*(state>>15) <= 32768*(2^16-1) < 2^31).
+
+ENCODE uses the same model math in a forward kernel plus a backward coding
+kernel with division as exact base-256 long division in f32 (the
+reference's reciprocal-multiplication DIVTDIV32, turborc_.h:163-196,
+plays the same role); emission compaction stays in XLA (cumsum+scatter).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RC_BITS = 15
+TOTAL = 1 << RC_BITS
+ANS_LOW = 1 << 15
+CDFRATE = 7
+IC = 10
+MIXD = (TOTAL - 1) & ~31
+
+GROUPS = 8
+GLANES = 128
+LANES = GROUPS * GLANES      # 1024 lanes per kernel tile
+CHUNK = 16                   # byte steps per grid step
+WROWS = 2 * CHUNK + 8        # stream window rows per group
+
+
+# ---------------------------------------------------------------------------
+# tile helpers (pure (8,128) int32 math)
+# ---------------------------------------------------------------------------
+
+def _prefix_sum_lanes(x):
+    """Exclusive prefix sum along the 128-lane axis of an (8,128) tile."""
+    total = x
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        total = total + jnp.where(lane >= sh, pltpu.roll(total, sh, 1), 0)
+    return total - x
+
+
+def _lane_select(row, col):
+    """row (8,128), col (8,128) in [0,128): out[s,l] = row[s, col[s,l]]."""
+    acc = jnp.zeros_like(col)
+    for j in range(GLANES):
+        acc = acc + jnp.where(col == j, row[:, j:j + 1], 0)
+    return acc
+
+
+def _cdf_search(cdf, value):
+    """cdf = list of 16 (8,128) tiles. Returns (sym, low, freq)."""
+    sym = jnp.zeros_like(value)
+    for i in range(1, 16):
+        sym = sym + (cdf[i] <= value).astype(jnp.int32)
+    low = jnp.zeros_like(value)
+    nxt = jnp.full_like(value, TOTAL)
+    for i in range(15, 0, -1):
+        eq = sym == i
+        low = jnp.where(eq, cdf[i], low)
+        if i < 15:
+            nxt = jnp.where(sym == i - 1, cdf[i], nxt)
+    nxt = jnp.where(sym == 14, cdf[15], nxt)
+    return sym, low, nxt - low
+
+
+def _cdf_update(cdf, low):
+    """Staircase-mix + strict monotone repair (models/cdf16.py semantics)."""
+    new = []
+    for i in range(16):
+        mask = cdf[i] > low
+        tgt = i * IC - cdf[i] + jnp.where(mask, MIXD, 0)
+        new.append(cdf[i] + (tgt >> CDFRATE))
+    run = new[0]
+    out = [new[0]]
+    for i in range(1, 16):
+        run = jnp.maximum(run, new[i] - i)
+        out.append(run + i)
+    return out
+
+
+def _dec_nibble(state, cdf):
+    value = state & (TOTAL - 1)
+    sym, low, freq = _cdf_search(cdf, value)
+    state = freq * (state >> RC_BITS) + value - low
+    return state, sym, _cdf_update(cdf, low)
+
+
+def _staircase(i):
+    return jnp.full((GROUPS, GLANES), i << (RC_BITS - 4), jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# decode kernel
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(stream_ref, out_ref, states, cdf_hi, cdf_lo, window,
+                   pword, sem):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        for s in range(GROUPS):
+            pword[s] = 0
+
+    # ---- slide the stream windows
+    copies = [pltpu.make_async_copy(
+        stream_ref.at[s, pl.ds(pword[s] >> 7, WROWS), :],
+        window.at[s], sem.at[s]) for s in range(GROUPS)]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
+
+    @pl.when(g == 0)
+    def _():
+        states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
+        for s in range(GROUPS):
+            pword[s] = 256  # rows 0-1 are the flush states
+        for i in range(16):
+            cdf_hi[i] = _staircase(i)
+            for h in range(16):
+                cdf_lo[h, i] = _staircase(i)
+
+    # in-window word offset per group, broadcast over lanes
+    p = jnp.stack([pword[s] & 127 for s in range(GROUPS)])[:, None]
+    p = jnp.where(g == 0, 256, p)
+    base_row = jnp.stack([pword[s] >> 7 for s in range(GROUPS)])
+    state = states[:, :]
+    hi_t = [cdf_hi[i] for i in range(16)]
+
+    def fetch(state, p):
+        need = state < ANS_LOW
+        rank = _prefix_sum_lanes(need.astype(jnp.int32))
+        f = p + rank
+        r0 = p >> 7          # (8,1)
+        row0 = jnp.zeros((GROUPS, GLANES), jnp.int32)
+        row1 = jnp.zeros((GROUPS, GLANES), jnp.int32)
+        for w in range(WROWS):
+            hit = r0 == w
+            row0 = jnp.where(hit, window[:, w, :], row0)
+            if w + 1 < WROWS:
+                row1 = jnp.where(hit, window[:, w + 1, :], row1)
+        col = f & 127
+        w0 = _lane_select(row0, col)
+        w1 = _lane_select(row1, col)
+        word = jnp.where((f >> 7) > r0, w1, w0)
+        state = jnp.where(need, (state << 16) | word, state)
+        p = p + jnp.sum(need.astype(jnp.int32), axis=1, keepdims=True)
+        return state, p
+
+    for t in range(CHUNK):
+        # ---- hi nibble
+        state, hi, hi_t = _dec_nibble(state, hi_t)
+        state, p = fetch(state, p)
+
+        # ---- lo nibble: context-select the row, decode, write back
+        row_t = []
+        for i in range(16):
+            acc = cdf_lo[0, i]
+            for h in range(1, 16):
+                acc = jnp.where(hi == h, cdf_lo[h, i], acc)
+            row_t.append(acc)
+        state, lo, new_row = _dec_nibble(state, row_t)
+        for h in range(16):
+            hit = hi == h
+            for i in range(16):
+                cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
+        state, p = fetch(state, p)
+
+        out_ref[t] = (hi << 4) | lo
+
+    # ---- persist carry state
+    states[:, :] = state
+    for i in range(16):
+        cdf_hi[i] = hi_t[i]
+    for s in range(GROUPS):
+        pword[s] = (base_row[s] << 7) + p[s, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def decode_tile(gstreams: jnp.ndarray, K: int) -> jnp.ndarray:
+    """gstreams [GROUPS, R, GLANES] int32 (consumption-order + state rows,
+    padded with >= WROWS extra rows) -> bytes [K, GROUPS, GLANES]."""
+    assert K % CHUNK == 0
+    grid = K // CHUNK
+    return pl.pallas_call(
+        _decode_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((CHUNK, GROUPS, GLANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, GROUPS, GLANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((GROUPS, GLANES), jnp.int32),          # states
+            pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),      # cdf_hi
+            pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),  # cdf_lo
+            pltpu.VMEM((GROUPS, WROWS, GLANES), jnp.int32),   # window
+            pltpu.SMEM((GROUPS,), jnp.int32),                 # pword
+            pltpu.SemaphoreType.DMA((GROUPS,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(gstreams)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side group-stream construction (encode) and host packing
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def encode_tile(block: jnp.ndarray, K: int):
+    """block [LANES, K] int32 bytes -> (gstreams [8, R, 128], glens [8]).
+
+    Model+coding passes are shared with the XLA codec; only the stitch
+    differs (consumption order per 128-lane group instead of per lane).
+    """
+    from turborc_tpu.codecs import rans_cdf_o0
+    from turborc_tpu.ops import rans
+
+    L = block.shape[0]
+    assert L == LANES
+    cols = block.T
+
+    def fwd(carry, b):
+        cdf_hi, cdf_lo = carry
+        from turborc_tpu.models import cdf16
+        hi, lo = b >> 4, b & 15
+        low_h, fr_h = cdf16.lookup(cdf_hi, hi)
+        cdf_hi = cdf16.update(cdf_hi, low_h)
+        sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
+        row = rans_cdf_o0._lo_row(cdf_lo, sel)
+        low_l, fr_l = cdf16.lookup(row, lo)
+        cdf_lo = rans_cdf_o0._lo_put(cdf_lo, sel, row,
+                                     cdf16.update(row, low_l))
+        return (cdf_hi, cdf_lo), (jnp.stack([jnp.stack([low_h, fr_h]),
+                                             jnp.stack([low_l, fr_l])]))
+
+    _, probs = jax.lax.scan(fwd, rans_cdf_o0._model_init(L), cols)
+    probs = probs.reshape(2 * K, 2, L)
+    words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
+
+    # group stitch: flat position within each group's stream
+    S = 2 * K
+    R = S + 2 + WROWS  # worst case rows + state rows + window pad
+    words_g = words.astype(jnp.int32).reshape(S, GROUPS, GLANES)
+    emit_g = emit.reshape(S, GROUPS, GLANES)
+    eint = emit_g.astype(jnp.int32)
+    # consumption order = (step, lane) lexicographic per group
+    flat = eint.transpose(1, 0, 2).reshape(GROUPS, S * GLANES)
+    pos = 256 + jnp.cumsum(flat, axis=1) - flat
+    pos = pos.reshape(GROUPS, S, GLANES).transpose(1, 0, 2)
+    out = jnp.zeros((GROUPS, R * GLANES), jnp.int32)
+    gi = jnp.broadcast_to(
+        jnp.arange(GROUPS, dtype=jnp.int32)[None, :, None],
+        (S, GROUPS, GLANES))
+    posc = jnp.where(emit_g, pos, R * GLANES)
+    out = out.at[gi.ravel(), posc.ravel()].set(
+        words_g.transpose(0, 1, 2).ravel(), mode="drop")
+    st = state.reshape(GROUPS, GLANES)
+    out = out.reshape(GROUPS, R, GLANES)
+    out = out.at[:, 0, :].set((st >> 16).astype(jnp.int32))
+    out = out.at[:, 1, :].set((st & 0xFFFF).astype(jnp.int32))
+    glens = 256 + jnp.sum(eint, axis=(0, 2))
+    return out, glens

@@ -72,23 +72,38 @@ def dec_renorm(state: jnp.ndarray, streams: jnp.ndarray, pos: jnp.ndarray):
     return state, pos
 
 
-def encode_backward(lows: jnp.ndarray, freqs: jnp.ndarray):
+def encode_backward(lows: jnp.ndarray, freqs: jnp.ndarray,
+                    valid: jnp.ndarray | None = None):
     """Backward coding pass over precomputed per-symbol probabilities.
 
     lows/freqs [S, L] int32, symbol-time major (s ascending = decode order).
+    `valid` [S, L] bool marks real coding slots; invalid slots are no-ops
+    (used by variable-length symbol codecs that pad to a fixed slot count).
     Returns (words [S, L], emit [S, L], state [L]) with words/emit indexed
     by symbol time s.
     """
     L = lows.shape[1]
     init = jnp.full((L,), ANS_LOW, jnp.uint32)
 
+    if valid is None:
+        def body(state, inp):
+            low, freq = inp
+            state, word, emit = enc_step(state, low, freq)
+            return state, (word, emit)
+
+        state, (words, emit) = jax.lax.scan(
+            body, init, (lows, freqs), reverse=True)
+        return words, emit, state
+
     def body(state, inp):
-        low, freq = inp
-        state, word, emit = enc_step(state, low, freq)
+        low, freq, v = inp
+        new_state, word, emit = enc_step(state, low, jnp.maximum(freq, 1))
+        state = jnp.where(v, new_state, state)
+        emit = jnp.logical_and(emit, v)
         return state, (word, emit)
 
     state, (words, emit) = jax.lax.scan(
-        body, init, (lows, freqs), reverse=True)
+        body, init, (lows, freqs, valid), reverse=True)
     return words, emit, state
 
 
