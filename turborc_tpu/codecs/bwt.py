@@ -61,3 +61,22 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
         bwt_data = dec(body, n, lanes=lanes, step_quant=step_quant,
                        prm0=prm0, prm1=prm1)
     return native.unbwt(bwt_data, primary)
+
+
+# ---------------------------------------------------------------------------
+# QLFC codec (reference rcqlfc_.c, id 18): MTF rank transform (host) +
+# run-length/gamma entropy stage on the rank stream.
+# ---------------------------------------------------------------------------
+
+def qlfc_encode(data: np.ndarray, lanes: int = 512, step_quant: int = 64,
+                **_unused) -> bytes:
+    from turborc_tpu.codecs import rle as _rle
+    ranks = native.mtf(data)
+    return _rle.encode_block(ranks, lanes=lanes, step_quant=step_quant)
+
+
+def qlfc_decode(payload: bytes, n: int, lanes: int = 512,
+                step_quant: int = 64, **_unused) -> np.ndarray:
+    from turborc_tpu.codecs import rle as _rle
+    ranks = _rle.decode_block(payload, n, lanes=lanes, step_quant=step_quant)
+    return native.unmtf(ranks)

@@ -93,9 +93,16 @@ def _lazy_init():
     register(4, "rcx", rc_bit.rcx_encode, rc_bit.rcx_decode,
              "sliding-context bitwise codec, ctx in bits (ref rcx ids 4-5)")
 
-    from turborc_tpu.codecs import bwt
+    from turborc_tpu.codecs import bwt, rc_cm
     register(20, "rcbwt", bwt.encode_block, bwt.decode_block,
              "BWT (clean-room SA-IS) + entropy stage by level (ref id 20)")
+    for cid, variant, desc in ((9, "rcm", "o1+o0 mix + SSE (ref id 9)"),
+                               (11, "rcmr", "run-aware mix + SSE (ref id 11)"),
+                               (12, "rcmrr", "run>2-aware mix + SSE (id 12)")):
+        enc, dec = rc_cm.make_block_api(variant)
+        register(cid, variant, enc, dec, desc)
+    register(18, "rcqlfc", bwt.qlfc_encode, bwt.qlfc_decode,
+             "QLFC: MTF ranks + RLE/gamma entropy stage (ref id 18)")
 
 
 _lazy_init()

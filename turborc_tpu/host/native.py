@@ -19,6 +19,9 @@ def load() -> ctypes.CDLL:
                               ctypes.c_int64, ctypes.c_int64]
     lib.trc_sais.restype = ctypes.c_int
     lib.trc_sais.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    for f in (lib.trc_mtf_enc, lib.trc_mtf_dec):
+        f.restype = None
+        f.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     return lib
 
 
@@ -49,3 +52,18 @@ def suffix_array(data: np.ndarray) -> np.ndarray:
     if load().trc_sais(data.ctypes.data, sa.ctypes.data, data.shape[0]) != 0:
         raise ValueError("sais failed")
     return sa
+
+
+def mtf(data: np.ndarray) -> np.ndarray:
+    """Move-to-front rank transform (QLFC host stage)."""
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty_like(data)
+    load().trc_mtf_enc(data.ctypes.data, out.ctypes.data, data.shape[0])
+    return out
+
+
+def unmtf(data: np.ndarray) -> np.ndarray:
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty_like(data)
+    load().trc_mtf_dec(data.ctypes.data, out.ctypes.data, data.shape[0])
+    return out

@@ -43,11 +43,22 @@ CDFRATE = 7
 IC = 10
 MIXD = (TOTAL - 1) & ~31
 
-GROUPS = 8
+GROUPS = 32                  # sublane rows per tile op (ILP: 4 vregs/op)
 GLANES = 128
-LANES = GROUPS * GLANES      # 1024 lanes per kernel tile
+LANES = GROUPS * GLANES      # 4096 lanes per kernel tile
 CHUNK = 16                   # byte steps per grid step
 WROWS = 2 * CHUNK + 8        # stream window rows per group
+
+
+def _treesum(parts):
+    """Balanced-tree sum to keep dependency chains log-depth."""
+    parts = list(parts)
+    while len(parts) > 1:
+        nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
 
 
 # ---------------------------------------------------------------------------
@@ -63,27 +74,30 @@ def _prefix_sum_lanes(x):
     return total - x
 
 
-def _lane_select(row, col):
-    """row (8,128), col (8,128) in [0,128): out[s,l] = row[s, col[s,l]]."""
-    acc = jnp.zeros_like(col)
-    for j in range(GLANES):
-        acc = acc + jnp.where(col == j, row[:, j:j + 1], 0)
-    return acc
+def _lane_select2(row0, row1, inrow1, col):
+    """out[s,l] = (inrow1 ? row1 : row0)[s, col[s,l]] - gather-free.
+
+    Uses 128 native lane rotations: pltpu.roll(x, k, 1)[l] = x[(l-k) % 128],
+    so row[col_l] appears at lane l in the copy rolled by d = (l-col) % 128.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, col.shape, 1)
+    d = (lane - col) & 127
+    parts = []
+    for k in range(GLANES):
+        hit = d == k
+        src = jnp.where(inrow1, pltpu.roll(row1, k, 1),
+                        pltpu.roll(row0, k, 1))
+        parts.append(jnp.where(hit, src, 0))
+    return _treesum(parts)
 
 
 def _cdf_search(cdf, value):
-    """cdf = list of 16 (8,128) tiles. Returns (sym, low, freq)."""
-    sym = jnp.zeros_like(value)
-    for i in range(1, 16):
-        sym = sym + (cdf[i] <= value).astype(jnp.int32)
-    low = jnp.zeros_like(value)
-    nxt = jnp.full_like(value, TOTAL)
-    for i in range(15, 0, -1):
-        eq = sym == i
-        low = jnp.where(eq, cdf[i], low)
-        if i < 15:
-            nxt = jnp.where(sym == i - 1, cdf[i], nxt)
-    nxt = jnp.where(sym == 14, cdf[15], nxt)
+    """cdf = list of 16 (G,128) tiles. Returns (sym, low, freq)."""
+    sym = _treesum([(cdf[i] <= value).astype(jnp.int32)
+                    for i in range(1, 16)])
+    low = _treesum([jnp.where(sym == i, cdf[i], 0) for i in range(1, 16)])
+    nxt = _treesum([jnp.where(sym == i - 1, cdf[i], 0)
+                    for i in range(1, 16)]) + jnp.where(sym == 15, TOTAL, 0)
     return sym, low, nxt - low
 
 
@@ -94,12 +108,12 @@ def _cdf_update(cdf, low):
         mask = cdf[i] > low
         tgt = i * IC - cdf[i] + jnp.where(mask, MIXD, 0)
         new.append(cdf[i] + (tgt >> CDFRATE))
-    run = new[0]
-    out = [new[0]]
-    for i in range(1, 16):
-        run = jnp.maximum(run, new[i] - i)
-        out.append(run + i)
-    return out
+    # strict monotone repair as a log-depth prefix max of (cdf_i - i)
+    d = [new[i] - i for i in range(16)]
+    for s in (1, 2, 4, 8):
+        d = [jnp.maximum(d[i], d[i - s]) if i >= s else d[i]
+             for i in range(16)]
+    return [d[i] + i for i in range(16)]
 
 
 def _dec_nibble(state, cdf):
@@ -126,9 +140,10 @@ def _decode_kernel(stream_ref, out_ref, states, cdf_hi, cdf_lo, window,
         for s in range(GROUPS):
             pword[s] = 0
 
-    # ---- slide the stream windows
+    # ---- slide the stream windows (base = current row of each group)
+    base_row = [pword[s] >> 7 for s in range(GROUPS)]
     copies = [pltpu.make_async_copy(
-        stream_ref.at[s, pl.ds(pword[s] >> 7, WROWS), :],
+        stream_ref.at[s, pl.ds(base_row[s], WROWS), :],
         window.at[s], sem.at[s]) for s in range(GROUPS)]
     for cp in copies:
         cp.start()
@@ -138,17 +153,15 @@ def _decode_kernel(stream_ref, out_ref, states, cdf_hi, cdf_lo, window,
     @pl.when(g == 0)
     def _():
         states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
-        for s in range(GROUPS):
-            pword[s] = 256  # rows 0-1 are the flush states
         for i in range(16):
             cdf_hi[i] = _staircase(i)
             for h in range(16):
                 cdf_lo[h, i] = _staircase(i)
 
     # in-window word offset per group, broadcast over lanes
+    # (at g==0 the window starts at row 0 and rows 0-1 hold flush states)
     p = jnp.stack([pword[s] & 127 for s in range(GROUPS)])[:, None]
     p = jnp.where(g == 0, 256, p)
-    base_row = jnp.stack([pword[s] >> 7 for s in range(GROUPS)])
     state = states[:, :]
     hi_t = [cdf_hi[i] for i in range(16)]
 
@@ -156,18 +169,13 @@ def _decode_kernel(stream_ref, out_ref, states, cdf_hi, cdf_lo, window,
         need = state < ANS_LOW
         rank = _prefix_sum_lanes(need.astype(jnp.int32))
         f = p + rank
-        r0 = p >> 7          # (8,1)
-        row0 = jnp.zeros((GROUPS, GLANES), jnp.int32)
-        row1 = jnp.zeros((GROUPS, GLANES), jnp.int32)
-        for w in range(WROWS):
-            hit = r0 == w
-            row0 = jnp.where(hit, window[:, w, :], row0)
-            if w + 1 < WROWS:
-                row1 = jnp.where(hit, window[:, w + 1, :], row1)
+        r0 = p >> 7          # (GROUPS, 1)
+        row0 = _treesum([jnp.where(r0 == w, window[:, w, :], 0)
+                         for w in range(WROWS)])
+        row1 = _treesum([jnp.where(r0 == w, window[:, w + 1, :], 0)
+                         for w in range(WROWS - 1)])
         col = f & 127
-        w0 = _lane_select(row0, col)
-        w1 = _lane_select(row1, col)
-        word = jnp.where((f >> 7) > r0, w1, w0)
+        word = _lane_select2(row0, row1, (f >> 7) > r0, col)
         state = jnp.where(need, (state << 16) | word, state)
         p = p + jnp.sum(need.astype(jnp.int32), axis=1, keepdims=True)
         return state, p
@@ -178,12 +186,8 @@ def _decode_kernel(stream_ref, out_ref, states, cdf_hi, cdf_lo, window,
         state, p = fetch(state, p)
 
         # ---- lo nibble: context-select the row, decode, write back
-        row_t = []
-        for i in range(16):
-            acc = cdf_lo[0, i]
-            for h in range(1, 16):
-                acc = jnp.where(hi == h, cdf_lo[h, i], acc)
-            row_t.append(acc)
+        row_t = [_treesum([jnp.where(hi == h, cdf_lo[h, i], 0)
+                           for h in range(16)]) for i in range(16)]
         state, lo, new_row = _dec_nibble(state, row_t)
         for h in range(16):
             hit = hi == h
@@ -193,12 +197,13 @@ def _decode_kernel(stream_ref, out_ref, states, cdf_hi, cdf_lo, window,
 
         out_ref[t] = (hi << 4) | lo
 
-    # ---- persist carry state
+    # ---- persist carry state (pword = absolute word position again)
     states[:, :] = state
     for i in range(16):
         cdf_hi[i] = hi_t[i]
     for s in range(GROUPS):
         pword[s] = (base_row[s] << 7) + p[s, 0]
+
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
