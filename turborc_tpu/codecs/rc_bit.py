@@ -140,6 +140,8 @@ rc_s_encode, rc_s_decode = _make_block_api(0, "s")
 rcc_s_encode, rcc_s_decode = _make_block_api(1, "s")
 rc_ss_encode, rc_ss_decode = _make_block_api(0, "ss")
 rcc_ss_encode, rcc_ss_decode = _make_block_api(1, "ss")
+rc_sf_encode, rc_sf_decode = _make_block_api(0, "sf")
+rcc_sf_encode, rcc_sf_decode = _make_block_api(1, "sf")
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,10 @@ def _lazy_init():
              "bitwise order-0, dual-speed predictor (ref rc -pss)")
     register(102, "rcc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode,
              "bitwise order-1, dual-speed predictor (ref rcc -pss)")
+    register(103, "rc-o0-sf", rc_bit.rc_sf_encode, rc_bit.rc_sf_decode,
+             "bitwise order-0, FSM predictor (ref rc -psf; generated table)")
+    register(104, "rcc-o1-sf", rc_bit.rcc_sf_encode, rc_bit.rcc_sf_decode,
+             "bitwise order-1, FSM predictor (ref rcc -psf; generated table)")
 
     from turborc_tpu.codecs import intcodecs, rle
     from turborc_tpu.transforms import delta as _tf

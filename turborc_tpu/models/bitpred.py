@@ -78,7 +78,34 @@ class DualSpeed:
         return state.at[lanes, idx].set(new)
 
 
-PREDICTORS = {"s": Simple(), "ss": DualSpeed()}
+class Fsm:
+    """FSM predictor ('sf'): per-context state-machine ids over a shared
+    generated table (models/fsm.py; reference mbc_sf.h:44-75)."""
+
+    def __init__(self):
+        from turborc_tpu.models import fsm
+        prob, nxt0, nxt1 = fsm.build_table()
+        self._prob = jnp.asarray(prob)
+        self._nxt0 = jnp.asarray(nxt0)
+        self._nxt1 = jnp.asarray(nxt1)
+
+    def init(self, L: int, N: int):
+        return jnp.zeros((L, N), jnp.int32)
+
+    def predict(self, state, idx):
+        return self._prob[_gather(state, idx)]
+
+    def update(self, state, idx, p, bit):
+        sid = _gather(state, idx)
+        nxt = jnp.where(bit, self._nxt1[sid], self._nxt0[sid])
+        return _scatter(state, idx, nxt)
+
+    # jit-cache key stability (the table is deterministic)
+    def __hash__(self):
+        return hash("fsm")
+
+    def __eq__(self, other):
+        return isinstance(other, Fsm)
 
 
 def make(name: str, prm0: int | None = None, prm1: int | None = None):
@@ -87,4 +114,6 @@ def make(name: str, prm0: int | None = None, prm1: int | None = None):
     if name == "ss":
         return DualSpeed(prm0 if prm0 is not None else 5,
                          prm1 if prm1 is not None else 8)
+    if name == "sf":
+        return Fsm()
     raise ValueError(f"unknown predictor {name!r}")

@@ -43,7 +43,7 @@ CDFRATE = 7
 IC = 10
 MIXD = (TOTAL - 1) & ~31
 
-GROUPS = 32                  # sublane rows per tile op (ILP: 4 vregs/op)
+GROUPS = 64                  # sublane rows per tile op (ILP: 4 vregs/op)
 GLANES = 128
 LANES = GROUPS * GLANES      # 4096 lanes per kernel tile
 CHUNK = 16                   # byte steps per grid step
@@ -234,6 +234,138 @@ def decode_tile(gstreams: jnp.ndarray, K: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# encode kernels
+# ---------------------------------------------------------------------------
+
+def _cdf_lookup(cdf, sym):
+    """(low, freq) for a known symbol (encode side)."""
+    low = _treesum([jnp.where(sym == i, cdf[i], 0) for i in range(1, 16)])
+    nxt = _treesum([jnp.where(sym == i - 1, cdf[i], 0)
+                    for i in range(1, 16)]) + jnp.where(sym == 15, TOTAL, 0)
+    return low, nxt - low
+
+
+def _model_kernel(block_ref, probs_ref, cdf_hi, cdf_lo):
+    """Forward model pass: per-nibble (low<<16 | freq) for the whole tile."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        for i in range(16):
+            cdf_hi[i] = _staircase(i)
+            for h in range(16):
+                cdf_lo[h, i] = _staircase(i)
+
+    hi_t = [cdf_hi[i] for i in range(16)]
+    for t in range(CHUNK):
+        b = block_ref[t]
+        hi, lo = b >> 4, b & 15
+        low_h, fr_h = _cdf_lookup(hi_t, hi)
+        hi_t = _cdf_update(hi_t, low_h)
+        row_t = [_treesum([jnp.where(hi == h, cdf_lo[h, i], 0)
+                           for h in range(16)]) for i in range(16)]
+        low_l, fr_l = _cdf_lookup(row_t, lo)
+        new_row = _cdf_update(row_t, low_l)
+        for h in range(16):
+            hit = hi == h
+            for i in range(16):
+                cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
+        probs_ref[2 * t] = (low_h << 16) | fr_h
+        probs_ref[2 * t + 1] = (low_l << 16) | fr_l
+    for i in range(16):
+        cdf_hi[i] = hi_t[i]
+
+
+def _exact_div(state, freq):
+    """q = state // freq for 0 <= state < 2^31, 1 <= freq <= 2^15.
+
+    Base-256 long division with f32 digit quotients (partial dividends
+    < 2^23 are f32-exact); plays the role of the reference's reciprocal
+    multiplication LUT (turborc_.h:163-196).
+    """
+    r = jnp.zeros_like(state)
+    q = jnp.zeros_like(state)
+    ff = freq.astype(jnp.float32)
+    for sh in (24, 16, 8, 0):
+        cur = (r << 8) | ((state >> sh) & 0xFF)
+        qd = jnp.floor(cur.astype(jnp.float32) / ff).astype(jnp.int32)
+        rd = cur - qd * freq
+        qd = qd + (rd >= freq).astype(jnp.int32) - (rd < 0).astype(jnp.int32)
+        rd = cur - qd * freq
+        q = (q << 8) | qd
+        r = rd
+    return q
+
+
+def _coder_kernel(probs_ref, words_ref, emit_ref, stout_ref, states):
+    """Backward coding pass over one reversed chunk of nibble slots."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        states[:, :] = jnp.full((GROUPS, GLANES), ANS_LOW, jnp.int32)
+
+    state = states[:, :]
+    for t in range(2 * CHUNK - 1, -1, -1):
+        pr = probs_ref[t]
+        low = pr >> 16
+        freq = pr & 0xFFFF
+        emit = state >= (freq << 16)
+        words_ref[t] = state & 0xFFFF
+        emit_ref[t] = emit.astype(jnp.int32)
+        state = jnp.where(emit, jax.lax.shift_right_logical(state, 16),
+                          state)
+        q = _exact_div(state, freq)
+        state = (q << RC_BITS) + (state - q * freq) + low
+    states[:, :] = state
+    stout_ref[:, :] = state  # last grid step's write = flush states
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def encode_tile_pallas(block: jnp.ndarray, K: int):
+    """block [LANES, K] -> (gstreams, glens) via the Pallas passes."""
+    assert K % CHUNK == 0
+    cols = block.T.reshape(K, GROUPS, GLANES)
+    probs = pl.pallas_call(
+        _model_kernel,
+        grid=(K // CHUNK,),
+        in_specs=[pl.BlockSpec((CHUNK, GROUPS, GLANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * K, GROUPS, GLANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),
+            pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(cols)
+
+    n = K // CHUNK
+    words, emit, state = pl.pallas_call(
+        _coder_kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+                               lambda i: (n - 1 - i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+                                lambda i: (n - 1 - i, 0, 0),
+                                memory_space=pltpu.VMEM)] * 2 + [
+            pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((2 * K, GROUPS, GLANES), jnp.int32)]
+        * 2 + [jax.ShapeDtypeStruct((GROUPS, GLANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((GROUPS, GLANES), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(probs)
+    return _group_stitch(words, emit.astype(jnp.bool_),
+                         state.astype(jnp.uint32))
+
+
+# ---------------------------------------------------------------------------
 # XLA-side group-stream construction (encode) and host packing
 # ---------------------------------------------------------------------------
 
@@ -268,12 +400,18 @@ def encode_tile(block: jnp.ndarray, K: int):
     _, probs = jax.lax.scan(fwd, rans_cdf_o0._model_init(L), cols)
     probs = probs.reshape(2 * K, 2, L)
     words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
-
-    # group stitch: flat position within each group's stream
     S = 2 * K
-    R = S + 2 + WROWS  # worst case rows + state rows + window pad
-    words_g = words.astype(jnp.int32).reshape(S, GROUPS, GLANES)
-    emit_g = emit.reshape(S, GROUPS, GLANES)
+    return _group_stitch(words.astype(jnp.int32).reshape(S, GROUPS, GLANES),
+                         emit.reshape(S, GROUPS, GLANES),
+                         state.reshape(GROUPS, GLANES))
+
+
+def _group_stitch(words_g: jnp.ndarray, emit_g: jnp.ndarray,
+                  state: jnp.ndarray):
+    """[S,G,128] emissions + [G,128] flush states -> consumption-order
+    group streams ([G, R, 128], lengths [G])."""
+    S = words_g.shape[0]
+    R = S + 2 + WROWS  # worst-case data rows + state rows + window pad
     eint = emit_g.astype(jnp.int32)
     # consumption order = (step, lane) lexicographic per group
     flat = eint.transpose(1, 0, 2).reshape(GROUPS, S * GLANES)
@@ -285,10 +423,9 @@ def encode_tile(block: jnp.ndarray, K: int):
         (S, GROUPS, GLANES))
     posc = jnp.where(emit_g, pos, R * GLANES)
     out = out.at[gi.ravel(), posc.ravel()].set(
-        words_g.transpose(0, 1, 2).ravel(), mode="drop")
-    st = state.reshape(GROUPS, GLANES)
+        words_g.ravel(), mode="drop")
     out = out.reshape(GROUPS, R, GLANES)
-    out = out.at[:, 0, :].set((st >> 16).astype(jnp.int32))
-    out = out.at[:, 1, :].set((st & 0xFFFF).astype(jnp.int32))
+    out = out.at[:, 0, :].set((state >> 16).astype(jnp.int32))
+    out = out.at[:, 1, :].set((state & 0xFFFF).astype(jnp.int32))
     glens = 256 + jnp.sum(eint, axis=(0, 2))
     return out, glens
