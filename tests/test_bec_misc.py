@@ -1,0 +1,73 @@
+"""bec (M99-style), FSM predictor codecs, LZP, transpose, floatq."""
+import numpy as np
+import pytest
+
+from turborc_tpu import CodecConfig, compress, decompress
+from turborc_tpu.host import native
+from turborc_tpu.transforms import floatq, transpose
+
+
+def test_bec_roundtrip(corpora):
+    for name in ("runs", "zeros", "text"):
+        data = corpora[name][:4096]
+        cfg = CodecConfig(codec="bec", lanes=8, block_size=1 << 13,
+                          step_quant=256)
+        blob = compress(data, cfg)
+        assert decompress(blob) == data.tobytes()
+
+
+def test_bec_compresses_runs(corpora):
+    data = corpora["runs"][:8192]
+    blob = compress(data, CodecConfig(codec="bec", lanes=8,
+                                      block_size=1 << 13, step_quant=256))
+    assert len(blob) < data.shape[0]
+
+
+def test_fsm_codec_roundtrip(corpora):
+    data = corpora["text"][:4000]
+    cfg = CodecConfig(codec="rcc-o1-sf", lanes=8, block_size=1 << 13,
+                      step_quant=64)
+    blob = compress(data, cfg)
+    assert decompress(blob) == data.tobytes()
+
+
+def test_rans_o1_roundtrip(corpora):
+    data = corpora["text"][:6000]
+    cfg = CodecConfig(codec="rans-cdf-o1", lanes=8, block_size=1 << 13,
+                      step_quant=64)
+    blob = compress(data, cfg)
+    assert decompress(blob) == data.tobytes()
+
+
+def test_lzp_roundtrip(rng):
+    rep = np.frombuffer(b"the same phrase again and again. " * 500,
+                        np.uint8).copy()
+    lz = native.lzp(rep, 32)
+    assert lz is not None and lz.shape[0] < rep.shape[0] // 4
+    np.testing.assert_array_equal(native.unlzp(lz, rep.shape[0], 32), rep)
+    # escape-byte stress
+    esc = np.frombuffer(b"\xff" * 300 + b"x\xff" * 200, np.uint8).copy()
+    lz = native.lzp(esc, 32)
+    if lz is not None:
+        np.testing.assert_array_equal(native.unlzp(lz, esc.shape[0], 32),
+                                      esc)
+
+
+def test_transpose_invertible(rng):
+    d = rng.integers(0, 256, 1003).astype(np.uint8)
+    for es in (2, 3, 4, 8):
+        np.testing.assert_array_equal(
+            transpose.tpdec(transpose.tpenc(d, es), es), d)
+    np.testing.assert_array_equal(
+        transpose.tpdec2d(transpose.tpenc2d(d, 10, 25, 4), 10, 25, 4), d)
+
+
+def test_floatq(rng):
+    x = rng.normal(0, 5, 2000).astype(np.float32)
+    q, prm = floatq.fpquant_enc(x, 16)
+    back = floatq.fpquant_dec(q, prm)
+    st = floatq.fpstat(x, back)
+    assert st["nrmse"] < 1e-3
+    xr = floatq.fprazor(x, 12)
+    assert floatq.fpstat(x, xr)["max_abs"] < 0.02
+    np.testing.assert_array_equal(floatq.fprazor(x, 23), x)

@@ -34,33 +34,49 @@ _BY_STAGE_ID = {2: _STAGES[2], 5: _STAGES[5], 7: _STAGES[7]}
 
 def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
                  prm0: int = 4, prm1: int = 7, level: int = 8,
-                 **_unused) -> bytes:
+                 lzp_min: int = 32, **_unused) -> bytes:
     if data.shape[0] == 0:
-        return struct.pack("<QB", 0, 0)
-    bwt_data, primary = native.bwt(data)
+        return struct.pack("<QBB", 0, 0, 0)
+    # LZP preprocess, kept only when it gains >= 0.8% (rcbwt.c:50-55)
+    flags, pre = 0, data
+    lz = native.lzp(data, lzp_min)
+    if lz is not None and len(lz) <= data.shape[0] * 0.992:
+        flags, pre = 1, lz
+    bwt_data, primary = native.bwt(pre)
     stage_id = _STAGE_IDS.get(level, 7)
     _, enc, _ = _BY_STAGE_ID[stage_id]
     payload = enc(bwt_data, lanes=lanes, step_quant=step_quant,
                   prm0=prm0, prm1=prm1)
-    if len(payload) >= data.shape[0]:
+    if len(payload) >= pre.shape[0]:
         stage_id, payload = 0, bwt_data.tobytes()
-    return struct.pack("<QB", primary, stage_id) + payload
+    head = struct.pack("<QBB", primary, stage_id, flags)
+    if flags & 1:
+        head += struct.pack("<Q", pre.shape[0])
+    return head + payload
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 512,
                  step_quant: int = 256, prm0: int = 4, prm1: int = 7,
-                 **_unused) -> np.ndarray:
-    primary, stage_id = struct.unpack_from("<QB", payload)
+                 lzp_min: int = 32, **_unused) -> np.ndarray:
+    primary, stage_id, flags = struct.unpack_from("<QBB", payload)
     if n == 0:
         return np.zeros(0, np.uint8)
-    body = payload[9:]
+    off = 10
+    nl = n
+    if flags & 1:
+        (nl,) = struct.unpack_from("<Q", payload, off)
+        off += 8
+    body = payload[off:]
     if stage_id == 0:
-        bwt_data = np.frombuffer(body, np.uint8)[:n]
+        bwt_data = np.frombuffer(body, np.uint8)[:nl]
     else:
         _, _, dec = _BY_STAGE_ID[stage_id]
-        bwt_data = dec(body, n, lanes=lanes, step_quant=step_quant,
+        bwt_data = dec(body, nl, lanes=lanes, step_quant=step_quant,
                        prm0=prm0, prm1=prm1)
-    return native.unbwt(bwt_data, primary)
+    pre = native.unbwt(bwt_data, primary)
+    if flags & 1:
+        return native.unlzp(pre, n, lzp_min)
+    return pre
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,17 @@ def _lazy_init():
     register(56, "rans-cdf-o0", rans_cdf_o0.encode_block,
              rans_cdf_o0.decode_block,
              "adaptive CDF16 nibble-pair rANS, order 0 (ref anscdf id 56)")
+    import jax
+    if jax.default_backend() != "cpu":
+        # kernel codec needs the real TPU (Mosaic); keep CPU test runs lean
+        from turborc_tpu.codecs import rans_pallas
+        register(57, "rans-cdf-o0-p", rans_pallas.encode_block,
+                 rans_pallas.decode_block,
+                 "flagship on Pallas TPU kernels, group-interleaved streams")
+    from turborc_tpu.codecs import rans_cdf_o1
+    register(64, "rans-cdf-o1", rans_cdf_o1.encode_block,
+             rans_cdf_o1.decode_block,
+             "adaptive CDF16 rANS, order 1 (ref anscdf1 id 64)")
     register(1, "rc-o0", rc_bit.rc_s_encode, rc_bit.rc_s_decode,
              "bitwise order-0, simple predictor (ref rc id 1)")
     register(2, "rcc-o1", rc_bit.rcc_s_encode, rc_bit.rcc_s_decode,
@@ -105,6 +116,9 @@ def _lazy_init():
                                (12, "rcmrr", "run>2-aware mix + SSE (id 12)")):
         enc, dec = rc_cm.make_block_api(variant)
         register(cid, variant, enc, dec, desc)
+    from turborc_tpu.codecs import bec
+    register(19, "bec", bec.encode_block, bec.decode_block,
+             "M99-style hierarchical bit EC, level-parallel (ref id 19)")
     register(18, "rcqlfc", bwt.qlfc_encode, bwt.qlfc_decode,
              "QLFC: MTF ranks + RLE/gamma entropy stage (ref id 18)")
 

@@ -67,3 +67,35 @@ def unmtf(data: np.ndarray) -> np.ndarray:
     out = np.empty_like(data)
     load().trc_mtf_dec(data.ctypes.data, out.ctypes.data, data.shape[0])
     return out
+
+
+def _lzp_bind():
+    lib = load()
+    if not hasattr(lib.trc_lzp_enc, "_bound"):
+        for f in (lib.trc_lzp_enc, lib.trc_lzp_dec):
+            f.restype = ctypes.c_int64
+            f.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                          ctypes.c_int64, ctypes.c_int64]
+            f._bound = True
+    return lib
+
+
+def lzp(data: np.ndarray, minlen: int = 32):
+    """LZP preprocess; returns compressed bytes or None if no gain."""
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty(data.shape[0] + 16, np.uint8)
+    r = _lzp_bind().trc_lzp_enc(data.ctypes.data, data.shape[0],
+                                out.ctypes.data, out.shape[0], minlen)
+    if r < 0 or r >= data.shape[0]:
+        return None
+    return out[:r].copy()
+
+
+def unlzp(data: np.ndarray, orig_len: int, minlen: int = 32) -> np.ndarray:
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty(orig_len, np.uint8)
+    r = _lzp_bind().trc_lzp_dec(data.ctypes.data, data.shape[0],
+                                out.ctypes.data, orig_len, minlen)
+    if r != orig_len:
+        raise ValueError("lzp decode failed: corrupt stream")
+    return out

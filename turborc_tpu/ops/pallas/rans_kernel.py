@@ -43,7 +43,7 @@ CDFRATE = 7
 IC = 10
 MIXD = (TOTAL - 1) & ~31
 
-GROUPS = 64                  # sublane rows per tile op (ILP: 4 vregs/op)
+GROUPS = 32                  # sublane rows per tile op (ILP: 4 vregs/op)
 GLANES = 128
 LANES = GROUPS * GLANES      # 4096 lanes per kernel tile
 CHUNK = 16                   # byte steps per grid step
