@@ -19,6 +19,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-bound on CPU; cached
+# executables make repeated runs cheap.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax-turborc"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

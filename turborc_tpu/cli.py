@@ -73,6 +73,17 @@ def cmd_decompress(args):
     print(f"{len(blob):,} -> {len(out):,}")
 
 
+def cmd_gen(args):
+    """Text/CSV/timestamp -> fixed-width int file (reference befgen)."""
+    from turborc_tpu.utils import ingest
+    text = open(args.input, "rb").read()
+    out = ingest.ingest(text, fmt=args.format, esize=args.esize,
+                        scale=args.scale)
+    out.tofile(args.output)
+    print(f"{len(text):,} text bytes -> {out.shape[0]:,} bytes "
+          f"({args.esize}-byte ints, fmt={args.format})")
+
+
 def cmd_list(args):
     from turborc_tpu.codecs import registry
     for name in registry.names():
@@ -112,6 +123,17 @@ def main(argv=None):
     d.add_argument("input")
     d.add_argument("output")
     d.set_defaults(fn=cmd_decompress)
+
+    g = sub.add_parser("gen", help="text/csv/ts -> fixed-width ints "
+                       "(reference befgen, turborc.c:153-286)")
+    g.add_argument("input")
+    g.add_argument("output")
+    g.add_argument("-F", "--format", choices=("num", "csv", "ts"),
+                   default="num")
+    g.add_argument("-e", "--esize", type=int, choices=(1, 2, 4, 8),
+                   default=4)
+    g.add_argument("-s", "--scale", type=float, default=1.0)
+    g.set_defaults(fn=cmd_gen)
 
     ls = sub.add_parser("ls", help="list codecs")
     ls.set_defaults(fn=cmd_list)

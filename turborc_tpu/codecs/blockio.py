@@ -19,11 +19,12 @@ def shape_block(data: np.ndarray, lanes: int, step_quant: int):
     return padded.reshape(lanes, K).astype(np.int32), K
 
 
-def shape_block_elems(elems: np.ndarray, lanes: int, step_quant: int):
-    """Pad + reshape an int32 element array into [lanes, K] chunks."""
+def shape_block_elems(elems: np.ndarray, lanes: int, step_quant: int,
+                      dtype=np.int32):
+    """Pad + reshape an integer element array into [lanes, K] chunks."""
     n = elems.shape[0]
     K = K_for(n, lanes, step_quant)
-    padded = np.zeros(lanes * K, np.int32)
+    padded = np.zeros(lanes * K, dtype)
     padded[:n] = elems
     return padded.reshape(lanes, K), K
 

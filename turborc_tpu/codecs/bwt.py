@@ -34,14 +34,23 @@ _BY_STAGE_ID = {2: _STAGES[2], 5: _STAGES[5], 7: _STAGES[7]}
 
 def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
                  prm0: int = 4, prm1: int = 7, level: int = 8,
-                 lzp_min: int = 32, **_unused) -> bytes:
+                 lzp_min: int = 32, use_utf8: bool = True,
+                 **_unused) -> bytes:
     if data.shape[0] == 0:
         return struct.pack("<QBB", 0, 0, 0)
-    # LZP preprocess, kept only when it gains >= 0.8% (rcbwt.c:50-55)
+    # UTF-8 remap, kept only when it shrinks the stream (rcbwt.c:43)
     flags, pre = 0, data
-    lz = native.lzp(data, lzp_min)
-    if lz is not None and len(lz) <= data.shape[0] * 0.992:
-        flags, pre = 1, lz
+    if use_utf8:
+        u = native.utf8_remap(pre)
+        if u is not None and u.shape[0] < pre.shape[0]:
+            flags |= 2
+            pre = u
+    utf8_len = pre.shape[0]
+    # LZP preprocess, kept only when it gains >= 0.8% (rcbwt.c:50-55)
+    lz = native.lzp(pre, lzp_min)
+    if lz is not None and len(lz) <= pre.shape[0] * 0.992:
+        flags |= 1
+        pre = lz
     bwt_data, primary = native.bwt(pre)
     stage_id = _STAGE_IDS.get(level, 7)
     _, enc, _ = _BY_STAGE_ID[stage_id]
@@ -50,6 +59,8 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
     if len(payload) >= pre.shape[0]:
         stage_id, payload = 0, bwt_data.tobytes()
     head = struct.pack("<QBB", primary, stage_id, flags)
+    if flags & 2:
+        head += struct.pack("<Q", utf8_len)
     if flags & 1:
         head += struct.pack("<Q", pre.shape[0])
     return head + payload
@@ -62,7 +73,11 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
     if n == 0:
         return np.zeros(0, np.uint8)
     off = 10
-    nl = n
+    utf8_len = n
+    if flags & 2:
+        (utf8_len,) = struct.unpack_from("<Q", payload, off)
+        off += 8
+    nl = utf8_len
     if flags & 1:
         (nl,) = struct.unpack_from("<Q", payload, off)
         off += 8
@@ -75,7 +90,9 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
                        prm0=prm0, prm1=prm1)
     pre = native.unbwt(bwt_data, primary)
     if flags & 1:
-        return native.unlzp(pre, n, lzp_min)
+        pre = native.unlzp(pre, utf8_len, lzp_min)
+    if flags & 2:
+        return native.utf8_unmap(pre, n)
     return pre
 
 

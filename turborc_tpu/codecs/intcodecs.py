@@ -37,57 +37,63 @@ def _gamma_models(L, W):
     return slotted.ModelTable(L, 1 + W + W * W)
 
 
+def _idx(v, u):
+    """Model-index helper: int32 constant array shaped like v."""
+    return jnp.full(v.shape, u, jnp.int32)
+
+
 def _gamma_enc(rec, m, v, W, raw_mantissa=False, active=None):
-    """Gamma-code v (W-bit value) into slots; _x = v+1.
+    """Gamma-code v: zero flag + unary bitlen + modeled mantissa.
+
+    Width-safe formulation (works up to W=32 in uint32): the flag codes
+    v==0 directly, then gamma codes v itself (gb = bitlen(v)-1 in
+    0..W-1), so no +1 overflow at the top of the range.
 
     raw_mantissa=True is the Turbo-VLC trade (mb_vint.h:214-232 /
     vlcbit.h): mantissa bits cost exactly 1 bit each (fixed p=1/2, no
     model) - faster and smaller state, slightly worse ratio.
     `active` masks the whole symbol (for composing codecs, e.g. RLE runs).
     """
-    x = v + 1
-    gb = slotted.bitlen(x, W + 1) - 1  # floor(log2(x)), 0..W
-    one = (jnp.ones_like(v, jnp.bool_) if active is None
+    one = (jnp.ones(v.shape, jnp.bool_) if active is None
            else active.astype(jnp.bool_))
-    rec.code(m, jnp.zeros_like(v), x == 1, one)
-    has = one & (gb >= 1)
+    vz = v == 0
+    rec.code(m, _idx(v, 0), vz, one)
+    act = one & ~vz
+    gb = jnp.maximum(slotted.bitlen(v, W).astype(jnp.int32) - 1, 0)
     for u in range(W):
-        rec.code(m, 1 + jnp.full_like(v, u), u == gb - 1,
-                 has & (u < gb))
-    for j in range(W):
-        gi = gb - 1 - j
-        bit = (x >> jnp.maximum(gi, 0)) & 1
-        act = has & (j < gb)
+        rec.code(m, _idx(v, 1 + u), u == gb, act & (u <= gb))
+    for j in range(W - 1):
+        a = act & (j < gb)
+        gi = jnp.where(a, gb - 1 - j, 0)
+        bit = (v >> gi.astype(v.dtype)) & v.dtype.type(1)
         if raw_mantissa:
-            rec.code_raw(bit, act)
+            rec.code_raw(bit, a)
         else:
-            rec.code(m, 1 + W + (gb - 1) * W + gi, bit, act)
+            rec.code(m, 1 + W + gb * W + gi, bit, a)
 
 
 def _gamma_dec(dec, m, W, like, raw_mantissa=False, active=None):
-    zero = jnp.zeros_like(like)
-    one = (jnp.ones_like(like, jnp.bool_) if active is None
+    one = (jnp.ones(like.shape, jnp.bool_) if active is None
            else active.astype(jnp.bool_))
-    is_one = dec.read(m, zero, one)
-    active = one & ~is_one
-    gb = jnp.zeros_like(like)
-    ufin = jnp.zeros_like(like, jnp.bool_)
+    vz = dec.read(m, _idx(like, 0), one)
+    act = one & ~vz
+    gb = jnp.zeros(like.shape, jnp.int32)
+    ufin = jnp.zeros(like.shape, jnp.bool_)
     for u in range(W):
-        a = active & ~ufin
-        bit = dec.read(m, 1 + jnp.full_like(like, u), a)
+        a = act & ~ufin
+        bit = dec.read(m, _idx(like, 1 + u), a)
         ufin = ufin | bit
-        gb = gb + (a & ~bit).astype(like.dtype)
-    gb = gb + 1  # unary coded gb-1
-    x = jnp.ones_like(like)
-    for j in range(W):
-        a = active & (j < gb)
-        gi = gb - 1 - j
+        gb = gb + (a & ~bit).astype(jnp.int32)
+    x = jnp.ones(like.shape, like.dtype)
+    for j in range(W - 1):
+        a = act & (j < gb)
+        gi = jnp.where(a, gb - 1 - j, 0)
         if raw_mantissa:
             bit = dec.read_raw(a)
         else:
-            bit = dec.read(m, 1 + W + (gb - 1) * W + gi, a)
+            bit = dec.read(m, 1 + W + gb * W + gi, a)
         x = jnp.where(a, (x << 1) | bit.astype(like.dtype), x)
-    return jnp.where(is_one, 0, x - 1)
+    return jnp.where(vz, like.dtype.type(0), x)
 
 
 # ---------------------------------------------------------------------------
@@ -95,9 +101,10 @@ def _gamma_dec(dec, m, W, like, raw_mantissa=False, active=None):
 # ---------------------------------------------------------------------------
 
 def _rice_models(L, W):
-    # [0..32] = mgu, then mgb[ctx][gi] with ctx = bsr32(q+1)+1 in [1, W+1]
-    GU = 33
-    return slotted.ModelTable(L, GU + (W + 2) * 33)
+    # [0..GU-1] unary, [GU..GU+W-1] escape bits, then mantissa models
+    # keyed by (ctx, bit index) with ctx = bitlen(q+1) in [0, W]
+    GU = _rice_qslots(W)
+    return slotted.ModelTable(L, GU + W + (W + 1) * W)
 
 
 def _rice_qslots(W):
@@ -105,57 +112,68 @@ def _rice_qslots(W):
     return RICEMAX + W + 2
 
 
+def _rice_k(ema, W):
+    """Adaptive Rice parameter: RICEK(ema) = bsr32(ema+1) (rcutil_.h:127)."""
+    return jnp.clip(slotted.bitlen(ema + ema.dtype.type(1),
+                                   W).astype(jnp.int32) - 1, 0, W - 1)
+
+
 def _rice_enc(rec, m, v, ema, W):
-    GU = 33
-    k = slotted.bitlen(ema + 1, W + 1) - 1  # RICEK(ema) = bsr32(ema+1)
-    q = v >> k
-    qx = q - RICEMAX
+    GU = _rice_qslots(W)
+    k = _rice_k(ema, W)
+    q = v >> k.astype(v.dtype)
     esc = q > RICEMAX
-    qb = slotted.bitlen(jnp.maximum(qx, 1), W + 1)
-    ulen = jnp.where(esc, RICEMAX + qb, q)  # unary-coded value
+    qx = jnp.where(esc, q - v.dtype.type(RICEMAX), v.dtype.type(1))
+    qb = slotted.bitlen(qx, W).astype(jnp.int32)
+    ulen = jnp.where(esc, RICEMAX + qb,
+                     jnp.minimum(q, v.dtype.type(RICEMAX)).astype(jnp.int32))
     for u in range(_rice_qslots(W)):
-        rec.code(m, jnp.full_like(v, u), u == ulen, u <= ulen)
-    for j in range(W):  # escape payload: qb-1 bits of qx (msb dropped)
-        gi = qb - 2 - j
-        rec.code(m, GU + jnp.maximum(gi, 0),
-                 (qx >> jnp.maximum(gi, 0)) & 1, esc & (j < qb - 1))
-    ctx = slotted.bitlen(q + 1, W + 2)  # bsr32(q+1)+1
+        rec.code(m, _idx(v, u), u == ulen, u <= ulen)
+    for j in range(W - 1):  # escape payload: qb-1 bits of qx (msb dropped)
+        a = esc & (j < qb - 1)
+        gi = jnp.where(a, qb - 2 - j, 0)
+        rec.code(m, GU + gi, (qx >> gi.astype(v.dtype)) & v.dtype.type(1), a)
+    ctx = slotted.bitlen(q + v.dtype.type(1), W).astype(jnp.int32)
     for j in range(W):  # k low bits of v
-        gi = k - 1 - j
-        rec.code(m, GU + ctx * 33 + jnp.maximum(gi, 0),
-                 (v >> jnp.maximum(gi, 0)) & 1, j < k)
-    return (63 * ema + v + 16) >> 6  # EMA(6, ema, 63, x), rcutil_.h:126
+        a = j < k
+        gi = jnp.where(a, k - 1 - j, 0)
+        rec.code(m, GU + W + ctx * W + gi,
+                 (v >> gi.astype(v.dtype)) & v.dtype.type(1), a)
+    ema = (v.dtype.type(63) * ema + v + v.dtype.type(16)) >> v.dtype.type(6)
+    return ema  # EMA(6, ema, 63, x), rcutil_.h:126
 
 
 def _rice_dec(dec, m, ema, W, like):
-    GU = 33
-    k = slotted.bitlen(ema + 1, W + 1) - 1
-    one = jnp.ones_like(like, jnp.bool_)
-    ufin = jnp.zeros_like(like, jnp.bool_)
-    ulen = jnp.zeros_like(like)
+    GU = _rice_qslots(W)
+    k = _rice_k(ema, W)
+    ufin = jnp.zeros(like.shape, jnp.bool_)
+    ulen = jnp.zeros(like.shape, jnp.int32)
     for u in range(_rice_qslots(W)):
         a = ~ufin
-        bit = dec.read(m, jnp.full_like(like, u), a)
+        bit = dec.read(m, _idx(like, u), a)
         ufin = ufin | bit
-        ulen = ulen + (a & ~bit).astype(like.dtype)
+        ulen = ulen + (a & ~bit).astype(jnp.int32)
     esc = ulen > RICEMAX
     qb = jnp.where(esc, ulen - RICEMAX, 0)
-    qx = jnp.ones_like(like)
-    for j in range(W):
+    qx = jnp.ones(like.shape, like.dtype)
+    for j in range(W - 1):
         a = esc & (j < qb - 1)
-        gi = qb - 2 - j
-        bit = dec.read(m, GU + jnp.maximum(gi, 0), a)
+        gi = jnp.where(a, qb - 2 - j, 0)
+        bit = dec.read(m, GU + gi, a)
         qx = jnp.where(a, (qx << 1) | bit.astype(like.dtype), qx)
-    q = jnp.where(esc, qx + RICEMAX, ulen)
-    ctx = slotted.bitlen(q + 1, W + 2)
-    v = q << k
+    q = jnp.where(esc, qx + like.dtype.type(RICEMAX),
+                  ulen.astype(like.dtype))
+    ctx = slotted.bitlen(q + like.dtype.type(1), W).astype(jnp.int32)
+    v = q << k.astype(like.dtype)
     for j in range(W):
         a = j < k
-        gi = k - 1 - j
-        bit = dec.read(m, GU + ctx * 33 + jnp.maximum(gi, 0), a)
-        v = jnp.where(a, v | (bit.astype(like.dtype) << jnp.maximum(gi, 0)),
-                      v)
-    return v, (63 * ema + v + 16) >> 6
+        gi = jnp.where(a, k - 1 - j, 0)
+        bit = dec.read(m, GU + W + ctx * W + gi, a)
+        v = jnp.where(a, v | (bit.astype(like.dtype)
+                              << gi.astype(like.dtype)), v)
+    ema = (like.dtype.type(63) * ema + v + like.dtype.type(16)) \
+        >> like.dtype.type(6)
+    return v, ema
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +253,7 @@ def encode_device(block: jnp.ndarray, K: int, kind: str, W: int = 8):
     cols = block.T  # [K, L]
     if kind in ("gamma", "vlc"):
         m0 = _gamma_models(L, W)
-        nslots = 1 + 2 * W
+        nslots = 2 * W
         raw = kind == "vlc"
 
         def body(carry, v):
@@ -247,7 +265,7 @@ def encode_device(block: jnp.ndarray, K: int, kind: str, W: int = 8):
         init = m0.t
     elif kind == "rice":
         m0 = _rice_models(L, W)
-        nslots = _rice_qslots(W) + 2 * W
+        nslots = _slots_per_elem(kind, W)
 
         def body(carry, v):
             t, ema = carry
@@ -256,7 +274,7 @@ def encode_device(block: jnp.ndarray, K: int, kind: str, W: int = 8):
             ema = _rice_enc(rec, m, v, ema, W)
             return (m.t, ema), rec.slots()
 
-        init = (m0.t, jnp.zeros((L,), jnp.int32))
+        init = (m0.t, jnp.zeros((L,), jnp.uint32))
     elif kind == "u3":
         m0, offs = _u3_models(L)
         nslots = 3 + sum(_U3)
@@ -283,7 +301,7 @@ def encode_device(block: jnp.ndarray, K: int, kind: str, W: int = 8):
 def decode_device(streams: jnp.ndarray, K: int, kind: str, W: int = 8):
     L = streams.shape[0]
     state, pos = rans.dec_init(streams)
-    like = jnp.zeros((L,), jnp.int32)
+    like = jnp.zeros((L,), jnp.uint32)
 
     if kind in ("gamma", "vlc"):
         m0 = _gamma_models(L, W)
@@ -309,7 +327,7 @@ def decode_device(streams: jnp.ndarray, K: int, kind: str, W: int = 8):
             state, pos = dec.carry()
             return (m.t, ema, state, pos), v
 
-        init = (m0.t, jnp.zeros((L,), jnp.int32), state, pos)
+        init = (m0.t, jnp.zeros((L,), jnp.uint32), state, pos)
     elif kind == "u3":
         m0, offs = _u3_models(L)
 
@@ -331,9 +349,9 @@ def decode_device(streams: jnp.ndarray, K: int, kind: str, W: int = 8):
 
 def _slots_per_elem(kind, W):
     if kind in ("gamma", "vlc"):
-        return 1 + 2 * W
+        return 2 * W
     if kind == "rice":
-        return _rice_qslots(W) + 2 * W
+        return _rice_qslots(W) + (W - 1) + W
     if kind == "u3":
         return 3 + sum(_U3)
     raise ValueError(kind)
@@ -350,7 +368,8 @@ def make_block_api(kind: str, esize: int = 1):
     def encode_block(data: np.ndarray, lanes: int = 512,
                      step_quant: int = 64, **_unused) -> bytes:
         elems = _to_elems(data, esize)
-        block, K = blockio.shape_block_elems(elems, lanes, step_quant)
+        block, K = blockio.shape_block_elems(elems, lanes, step_quant,
+                                         dtype=np.uint32)
         streams, lengths = encode_device(jnp.asarray(block), K, kind, W)
         return blockio.pack(np.asarray(streams), np.asarray(lengths))
 
@@ -368,11 +387,11 @@ def make_block_api(kind: str, esize: int = 1):
 
 def _to_elems(data: np.ndarray, esize: int) -> np.ndarray:
     if esize == 1:
-        return data.astype(np.int32)
+        return data.astype(np.uint32)
     pad = (-data.shape[0]) % esize
     if pad:
         data = np.concatenate([data, np.zeros(pad, np.uint8)])
-    return data.view(f"<u{esize}").astype(np.int32)
+    return data.view(f"<u{esize}").astype(np.uint32)
 
 
 def _from_elems(vals: np.ndarray, esize: int) -> np.ndarray:

@@ -145,6 +145,87 @@ rcc_sf_encode, rcc_sf_decode = _make_block_api(1, "sf")
 
 
 # ---------------------------------------------------------------------------
+# 16-bit symbol codec (reference rc 16-bit, rc_.c:62-79): one 16-level
+# binary tree per lane (node index 1..65535), MSB-first.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("K", "pred_name", "prm0",
+                                              "prm1"))
+def encode16_device(block: jnp.ndarray, K: int, pred_name: str = "s",
+                    prm0: int = 5, prm1: int = 8):
+    L = block.shape[0]
+    pred = bitpred.make(pred_name, prm0, prm1)
+
+    def fwd(carry, v):
+        state = carry
+        node = jnp.ones_like(v)
+        probs, bits = [], []
+        for i in range(15, -1, -1):
+            p = binary.clamp_p(pred.predict(state, node))
+            bit = (v >> i) & 1
+            state = pred.update(state, node, p, bit.astype(jnp.bool_))
+            probs.append(p)
+            bits.append(bit)
+            node = (node << 1) | bit
+        return state, (jnp.stack(probs), jnp.stack(bits))
+
+    _, (probs, bits) = jax.lax.scan(fwd, pred.init(L, 1 << 16), block.T)
+    lows, freqs = binary.to_low_freq(
+        probs.reshape(16 * K, L), bits.reshape(16 * K, L).astype(jnp.bool_))
+    words, emit, st = rans.encode_backward(lows, freqs)
+    return rans.stitch(words, emit, st)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "pred_name", "prm0",
+                                              "prm1"))
+def decode16_device(streams: jnp.ndarray, K: int, pred_name: str = "s",
+                    prm0: int = 5, prm1: int = 8):
+    L = streams.shape[0]
+    pred = bitpred.make(pred_name, prm0, prm1)
+    ans_state, pos = rans.dec_init(streams)
+
+    def dec(carry, _):
+        state, ans_state, pos = carry
+        node = jnp.ones((L,), jnp.int32)
+        for _i in range(16):
+            p = binary.clamp_p(pred.predict(state, node))
+            bit, ans_state = binary.dec_bit(ans_state, p)
+            state = pred.update(state, node, p, bit)
+            ans_state, pos = rans.dec_renorm(ans_state, streams, pos)
+            node = (node << 1) | bit.astype(jnp.int32)
+        return (state, ans_state, pos), node & 0xFFFF
+
+    _, vals = jax.lax.scan(dec, (pred.init(L, 1 << 16), ans_state, pos),
+                           None, length=K)
+    return vals.T
+
+
+def rc16_encode(data: np.ndarray, lanes: int = 512, step_quant: int = 64,
+                prm0: int = 5, prm1: int = 8, **_unused) -> bytes:
+    from turborc_tpu.codecs import blockio
+    pad = (-data.shape[0]) % 2
+    if pad:
+        data = np.concatenate([data, np.zeros(pad, np.uint8)])
+    elems = data.view("<u2").astype(np.int32)
+    block, K = blockio.shape_block_elems(elems, lanes, step_quant)
+    streams, lengths = encode16_device(jnp.asarray(block), K, "s", prm0,
+                                       prm1)
+    return blockio.pack(np.asarray(streams), np.asarray(lengths))
+
+
+def rc16_decode(payload: bytes, n: int, lanes: int = 512,
+                step_quant: int = 64, prm0: int = 5, prm1: int = 8,
+                **_unused) -> np.ndarray:
+    from turborc_tpu.codecs import blockio
+    n_elems = -(-n // 2)
+    K = blockio.K_for(n_elems, lanes, step_quant)
+    streams = blockio.unpack(payload, lanes, 16 * K + 2)
+    vals = np.asarray(decode16_device(jnp.asarray(streams), K, "s", prm0,
+                                      prm1))
+    return vals.reshape(-1)[:n_elems].astype("<u2").view(np.uint8)[:n]
+
+
+# ---------------------------------------------------------------------------
 # Sliding-context codec (rcx / rcx2): context length in BITS, nibble-split
 # (reference mb_on.h:24-65, rc_.c:376-435).  The context slides by 4 bits
 # per nibble; the hi nibble is keyed by cx, the lo nibble by (cx<<4 | hi).

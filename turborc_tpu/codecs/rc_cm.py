@@ -41,10 +41,22 @@ SSE_SHIFT = RC_BITS - 4  # 11
 
 # simple-counter rates (s predictor): mbc.h PRM1xx / PRR1xx
 RATES = {
-    "rcm": dict(w=(1, 15, 0), r0=2, r1=4, rs=6, run_mode=0),
-    "rcmr": dict(w=(7, 7, 2), r0=2, r1=4, rs=6, run_mode=1),
-    "rcmrr": dict(w=(7, 7, 2), r0=2, r1=4, rs=6, run_mode=2),
+    "rcm": dict(w=(1, 15, 0), r0=2, r1=4, rs=6, run_mode=0, o2=False),
+    "rcm2": dict(w=(1, 2, 13), r0=2, r1=4, rs=6, run_mode=0, o2=True),
+    "rcmr": dict(w=(7, 7, 2), r0=2, r1=4, rs=6, run_mode=1, o2=False),
+    "rcmrr": dict(w=(7, 7, 2), r0=2, r1=4, rs=6, run_mode=2, o2=False),
 }
+
+# rcm2's order-2 table: the reference heap-allocates 2^16 contexts x 256
+# nodes (rc_.c:344-370) shared by the single stream; per-lane tables at
+# that size exceed HBM budgets, so the 16-bit context is hashed down.
+O2_HASH_BITS = 12
+
+
+def _o2_ctx(cx1, cx2):
+    h = (cx1 << 8) | cx2
+    h = (h ^ (h >> 9)) * 0x9E5  # cheap 16->12 bit mix
+    return (h >> 4) & ((1 << O2_HASH_BITS) - 1)
 
 
 def _upd(p, bit, rate):
@@ -69,10 +81,19 @@ def _sse_init(L):
         L, 512 * 17)
 
 
-def _predict(mb0, mb1, sse, y, cx1, cx2, run, w):
+def _predict(tabs, y, cx1, cx2, run, cfg):
+    mb0, mb1, mb2, sse = tabs
+    w = cfg["w"]
     p0 = _gather(mb0, y)
     p1 = _gather(mb1, cx1 * 256 + y)
-    p2 = _gather(mb1, cx2 * 256 + y) if w[2] else 0
+    if cfg["o2"]:
+        i2 = _o2_ctx(cx1, cx2) * 256 + y
+        p2 = _gather(mb2, i2)
+    elif w[2]:
+        i2 = cx2 * 256 + y
+        p2 = _gather(mb1, i2)
+    else:
+        i2, p2 = None, 0
     p = (w[0] * p0 + w[1] * p1 + w[2] * p2) >> 4
     j = p >> SSE_SHIFT
     frac = p & ((1 << SSE_SHIFT) - 1)
@@ -81,17 +102,27 @@ def _predict(mb0, mb1, sse, y, cx1, cx2, run, w):
     s1 = _gather(sse, srow + j + 1)
     ssep = s0 + (((s1 - s0) * frac) >> SSE_SHIFT)
     prob = binary.clamp_p((p + 3 * ssep) >> 2)
-    return prob, (p0, p1, s0, s1, srow + j)
+    return prob, (p0, p1, p2, i2, s0, s1, srow + j)
 
 
 def _update(tabs, y, cx1, aux, bit, cfg):
-    mb0, mb1, sse = tabs
-    p0, p1, s0, s1, sj = aux
+    mb0, mb1, mb2, sse = tabs
+    p0, p1, p2, i2, s0, s1, sj = aux
     mb0 = _scatter(mb0, y, _upd(p0, bit, cfg["r0"]))
     mb1 = _scatter(mb1, cx1 * 256 + y, _upd(p1, bit, cfg["r1"]))
+    if cfg["o2"]:
+        mb2 = _scatter(mb2, i2, _upd(p2, bit, cfg["r1"]))
     sse = _scatter(sse, sj, _upd(s0, bit, cfg["rs"]))
     sse = _scatter(sse, sj + 1, _upd(s1, bit, cfg["rs"]))
-    return mb0, mb1, sse
+    return mb0, mb1, mb2, sse
+
+
+def _tabs_init(L, cfg):
+    n2 = (1 << O2_HASH_BITS) * 256 if cfg["o2"] else 1
+    return (jnp.full((L, 256), TOTAL // 2, jnp.int32),
+            jnp.full((L, 256 * 256), TOTAL // 2, jnp.int32),
+            jnp.full((L, n2), TOTAL // 2, jnp.int32),
+            _sse_init(L))
 
 
 def _run_ctx(run_mode, cx1, cx2, runlen):
@@ -109,26 +140,21 @@ def encode_device(block: jnp.ndarray, K: int, variant: str = "rcm"):
     cols = block.T
 
     def fwd(carry, b):
-        mb0, mb1, sse, cx1, cx2, runlen = carry
+        tabs, cx1, cx2, runlen = carry
         run = _run_ctx(cfg["run_mode"], cx1, cx2, runlen)
         node = jnp.ones_like(b)
         probs, bits = [], []
         for i in range(7, -1, -1):
-            prob, aux = _predict(mb0, mb1, sse, node, cx1, cx2, run,
-                                 cfg["w"])
+            prob, aux = _predict(tabs, node, cx1, cx2, run, cfg)
             bit = (b >> i) & 1
-            mb0, mb1, sse = _update((mb0, mb1, sse), node, cx1, aux,
-                                    bit, cfg)
+            tabs = _update(tabs, node, cx1, aux, bit, cfg)
             probs.append(prob)
             bits.append(bit)
             node = (node << 1) | bit
         runlen = jnp.where(b == cx1, runlen + 1, 0)
-        return (mb0, mb1, sse, b, cx1, runlen), (jnp.stack(probs),
-                                                 jnp.stack(bits))
+        return (tabs, b, cx1, runlen), (jnp.stack(probs), jnp.stack(bits))
 
-    init = (jnp.full((L, 256), TOTAL // 2, jnp.int32),
-            jnp.full((L, 256 * 256), TOTAL // 2, jnp.int32),
-            _sse_init(L),
+    init = (_tabs_init(L, cfg),
             jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32),
             jnp.zeros((L,), jnp.int32))
     _, (probs, bits) = jax.lax.scan(fwd, init, cols)
@@ -145,24 +171,20 @@ def decode_device(streams: jnp.ndarray, K: int, variant: str = "rcm"):
     state, pos = rans.dec_init(streams)
 
     def dec(carry, _):
-        mb0, mb1, sse, cx1, cx2, runlen, state, pos = carry
+        tabs, cx1, cx2, runlen, state, pos = carry
         run = _run_ctx(cfg["run_mode"], cx1, cx2, runlen)
         node = jnp.ones_like(cx1)
         for _i in range(8):
-            prob, aux = _predict(mb0, mb1, sse, node, cx1, cx2, run,
-                                 cfg["w"])
+            prob, aux = _predict(tabs, node, cx1, cx2, run, cfg)
             bit, state = binary.dec_bit(state, prob)
-            mb0, mb1, sse = _update((mb0, mb1, sse), node, cx1, aux,
-                                    bit, cfg)
+            tabs = _update(tabs, node, cx1, aux, bit, cfg)
             state, pos = rans.dec_renorm(state, streams, pos)
             node = (node << 1) | bit.astype(jnp.int32)
         b = node & 0xFF
         runlen = jnp.where(b == cx1, runlen + 1, 0)
-        return (mb0, mb1, sse, b, cx1, runlen, state, pos), b
+        return (tabs, b, cx1, runlen, state, pos), b
 
-    init = (jnp.full((L, 256), TOTAL // 2, jnp.int32),
-            jnp.full((L, 256 * 256), TOTAL // 2, jnp.int32),
-            _sse_init(L),
+    init = (_tabs_init(L, cfg),
             jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32),
             jnp.zeros((L,), jnp.int32), state, pos)
     _, bytes_t = jax.lax.scan(dec, init, None, length=K)

@@ -90,9 +90,21 @@ def _lazy_init():
 
     register(13, "rcrle", rle.encode_block, rle.decode_block,
              "RLE + order-0 literals + gamma runs (ref rcrle id 13)")
+    register(14, "rcrle1", rle.encode_block_o1, rle.decode_block_o1,
+             "RLE + order-1 literals + run-history-context runs "
+             "(ref rcrle1 id 14, rc_.c:928-988)")
+    from turborc_tpu.codecs import rans_nibble
+    register(40, "rc4", rans_nibble.encode_block, rans_nibble.decode_block,
+             "adaptive 4-bit symbol codec, per-lane CDF16 "
+             "(ref rc4 id 40, rc_.c:141-163)")
+    register(41, "rc4c", rans_nibble.encode_block_static,
+             rans_nibble.decode_block_static,
+             "static 4-bit symbol codec, shared block CDF16 "
+             "(ref rc4c id 41 / ans static nibble id 65)")
     for kind, base_id, name in (("gamma", 26, "rcg"), ("rice", 28, "rcr"),
                                 ("vlc", 30, "rcv")):
-        for esize, suffix, off in ((1, "-8", 0), (2, "-16", 50)):
+        for esize, suffix, off in ((1, "-8", 0), (2, "-16", 50),
+                                   (4, "-32", 100)):
             enc, dec = intcodecs.make_block_api(kind, esize)
             register(base_id + off, f"{name}{suffix}", enc, dec,
                      f"{kind} coder, {8*esize}-bit elements "
@@ -105,13 +117,35 @@ def _lazy_init():
     register(17, "rcu3", enc, dec,
              "segmented varint 1/3/5/8 bits (ref rcu3 id 17)")
 
+    from turborc_tpu.codecs import rans_vlc
+    for esize, base_id in ((1, 48), (2, 50), (4, 52)):
+        enc, dec = rans_vlc.make_block_api(esize)
+        name = {1: "rans-vn8", 2: "rans-v16", 4: "rans-v32"}[esize]
+        register(base_id, name, enc, dec,
+                 f"VLC over adaptive CDF16 + rANS direct bits, "
+                 f"{8*esize}-bit elements (ref rccdf ids 48-53, "
+                 f"anscdf ids 60-63)")
+        zenc, zdec = _tf.wrap_codec(enc, dec, _tf.zigzag_enc,
+                                    _tf.zigzag_dec, esize)
+        register(base_id + 1, f"{name}z", zenc, zdec,
+                 f"zigzag-delta + VLC/CDF16, {8*esize}-bit elements")
+
     register(4, "rcx", rc_bit.rcx_encode, rc_bit.rcx_decode,
              "sliding-context bitwise codec, ctx in bits (ref rcx ids 4-5)")
+    register(6, "rc-16", rc_bit.rc16_encode, rc_bit.rc16_decode,
+             "bitwise order-0 over 16-bit symbols, 16-level tree "
+             "(ref rc 16-bit, rc_.c:62-79)")
+    register(66, "ansb", rc_bit.rc_s_encode, rc_bit.rc_s_decode,
+             "bitwise ANS: o0 tree model over lane-parallel binary rANS "
+             "(ref ansbc/ansbd id 66, anscdf.c:673-731; same design point "
+             "as rc-o0 - the binary coder here IS an ANS)")
 
     from turborc_tpu.codecs import bwt, rc_cm
     register(20, "rcbwt", bwt.encode_block, bwt.decode_block,
              "BWT (clean-room SA-IS) + entropy stage by level (ref id 20)")
     for cid, variant, desc in ((9, "rcm", "o1+o0 mix + SSE (ref id 9)"),
+                               (10, "rcm2", "o2+o1+o0 mix + SSE, hashed o2 "
+                                "context (ref id 10)"),
                                (11, "rcmr", "run-aware mix + SSE (ref id 11)"),
                                (12, "rcmrr", "run>2-aware mix + SSE (id 12)")):
         enc, dec = rc_cm.make_block_api(variant)

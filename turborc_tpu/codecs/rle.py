@@ -1,10 +1,13 @@
-"""Run-length + entropy codec (reference rcrle, rc_.c:846-926).
+"""Run-length + entropy codecs (reference rcrle/rcrle1, rc_.c:846-988).
 
-Per lane: literals are coded with an order-0 byte tree model; whenever a
-byte repeats its predecessor, the remaining run length is gamma-coded and
-those positions are skipped.  Encoding precomputes the look-ahead run
-length per position with a reverse scan; both scans are fixed-shape with
-masked slots, so lanes with different run structure stay in lockstep.
+Per lane: literals are coded with a byte tree model (order-0 for rcrle,
+order-1 for rcrle1); whenever a byte repeats its predecessor, the remaining
+run length is gamma-coded and those positions are skipped.  rcrle1
+additionally keys the run-length models by a per-symbol run-history EMA
+bucket (the reference's HISTPRED/HISTUPD context, rc_.c:924-926).
+Encoding precomputes the look-ahead run length per position with a reverse
+scan; both scans are fixed-shape with masked slots, so lanes with
+different run structure stay in lockstep.
 """
 from __future__ import annotations
 
@@ -21,11 +24,20 @@ from turborc_tpu.ops import binary, rans, slotted
 RUN_W = 14  # gamma width for run lengths; requires K <= 2^RUN_W
 _NLIT = 256
 _NGAMMA = 1 + RUN_W + RUN_W * RUN_W
+_NHIST = 8  # run-history context buckets (rcrle1, rc_.c:924-926)
 
 
-def _models(L):
-    # [0..255] literal tree, then gamma models for runs
+def _models(L, order1: bool = False):
+    # literal tree (o0: 256 nodes; o1: 256 ctx x 256 nodes), then gamma
+    # run models (o0: one bank; o1: _NHIST banks keyed by the per-symbol
+    # run-length EMA bucket - the reference's HISTPRED/HISTUPD context)
+    if order1:
+        return slotted.ModelTable(L, 256 * 256 + _NHIST * _NGAMMA)
     return slotted.ModelTable(L, _NLIT + _NGAMMA)
+
+
+def _hist_bucket(ema):
+    return jnp.clip(slotted.bitlen(ema, 16), 0, _NHIST - 1)
 
 
 class _OffsetModel:
@@ -58,8 +70,23 @@ def _dec_literal(dec, m, active, like):
     return node & 0xFF
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def encode_device(block: jnp.ndarray, K: int):
+def _lit_model(m, prev, order1):
+    if not order1:
+        return m
+    return _OffsetModel(m, jnp.maximum(prev, 0) * 256)
+
+
+def _run_model(m, hist, b, order1):
+    """Run-length gamma bank (+ its hist row for the EMA update)."""
+    if not order1:
+        return _OffsetModel(m, _NLIT), None
+    ema = jnp.take_along_axis(hist, b[:, None], axis=1)[:, 0]
+    off = 256 * 256 + _hist_bucket(ema) * _NGAMMA
+    return _OffsetModel(m, off), ema
+
+
+@functools.partial(jax.jit, static_argnames=("K", "order1"))
+def encode_device(block: jnp.ndarray, K: int, order1: bool = False):
     L = block.shape[0]
     cols = block.T  # [K, L]
 
@@ -75,21 +102,25 @@ def encode_device(block: jnp.ndarray, K: int):
                            reverse=True)
 
     def body(carry, inp):
-        t, prev, skip = carry
+        t, prev, skip, hist = carry
         b, r = inp
         m = slotted.ModelTable.from_state(t)
         rec = slotted.Recorder()
         act = skip == 0
-        _code_literal(rec, m, b, act)
+        _code_literal(rec, _lit_model(m, prev, order1), b, act)
         rep = act & (b == prev)
-        _gamma_enc(rec, _OffsetModel(m, _NLIT), jnp.where(rep, r, 0),
-                   RUN_W, active=rep)
+        rm, ema = _run_model(m, hist, b, order1)
+        _gamma_enc(rec, rm, jnp.where(rep, r, 0), RUN_W, active=rep)
+        if order1:
+            new_ema = (3 * ema + r) >> 2
+            hist = hist.at[jnp.arange(L, dtype=jnp.int32), b].set(
+                jnp.where(rep, new_ema, ema))
         skip = jnp.where(act, jnp.where(rep, r, 0), skip - 1)
         prev = jnp.where(act, b, prev)
-        return (m.t, prev, skip), rec.slots()
+        return (m.t, prev, skip, hist), rec.slots()
 
-    init = (_models(L).t, jnp.full((L,), -1, jnp.int32),
-            jnp.zeros((L,), jnp.int32))
+    init = (_models(L, order1).t, jnp.full((L,), -1, jnp.int32),
+            jnp.zeros((L,), jnp.int32), jnp.zeros((L, 256), jnp.int32))
     _, (probs, bits, valids) = jax.lax.scan(body, init, (cols, runs))
     S = probs.shape[0] * probs.shape[1]
     lows, freqs = binary.to_low_freq(probs.reshape(S, L),
@@ -98,47 +129,57 @@ def encode_device(block: jnp.ndarray, K: int):
     return rans.stitch(words, emit, st)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def decode_device(streams: jnp.ndarray, K: int):
+@functools.partial(jax.jit, static_argnames=("K", "order1"))
+def decode_device(streams: jnp.ndarray, K: int, order1: bool = False):
     L = streams.shape[0]
     state, pos = rans.dec_init(streams)
     like = jnp.zeros((L,), jnp.int32)
 
     def body(carry, _):
-        t, prev, skip, cur, state, pos = carry
+        t, prev, skip, hist, cur, state, pos = carry
         m = slotted.ModelTable.from_state(t)
         dec = slotted.Decoder(state, pos, streams)
         act = skip == 0
-        byte = _dec_literal(dec, m, act, like)
+        byte = _dec_literal(dec, _lit_model(m, prev, order1), act, like)
         out = jnp.where(act, byte, cur)
         rep = act & (byte == prev)
-        r = _gamma_dec(dec, _OffsetModel(m, _NLIT), RUN_W, like,
-                       active=rep)
+        rm, ema = _run_model(m, hist, byte, order1)
+        r = _gamma_dec(dec, rm, RUN_W, like, active=rep)
+        if order1:
+            new_ema = (3 * ema + r) >> 2
+            hist = hist.at[jnp.arange(L, dtype=jnp.int32), byte].set(
+                jnp.where(rep, new_ema, ema))
         skip = jnp.where(act, jnp.where(rep, r, 0), skip - 1)
         prev = jnp.where(act, byte, prev)
         state, pos = dec.carry()
-        return (m.t, prev, skip, out, state, pos), out
+        return (m.t, prev, skip, hist, out, state, pos), out
 
-    init = (_models(L).t, jnp.full((L,), -1, jnp.int32),
-            jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32),
-            state, pos)
+    init = (_models(L, order1).t, jnp.full((L,), -1, jnp.int32),
+            jnp.zeros((L,), jnp.int32), jnp.zeros((L, 256), jnp.int32),
+            jnp.zeros((L,), jnp.int32), state, pos)
     _, vals = jax.lax.scan(body, init, None, length=K)
     return vals.T
 
 
-def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 64,
-                 **_unused) -> bytes:
-    block, K = blockio.shape_block(data, lanes, step_quant)
-    if K > (1 << RUN_W):
-        raise ValueError("rle: K exceeds run-length gamma range")
-    streams, lengths = encode_device(jnp.asarray(block), K)
-    return blockio.pack(np.asarray(streams), np.asarray(lengths))
+def make_block_api(order1: bool = False):
+    def encode_block(data: np.ndarray, lanes: int = 512,
+                     step_quant: int = 64, **_unused) -> bytes:
+        block, K = blockio.shape_block(data, lanes, step_quant)
+        if K > (1 << RUN_W):
+            raise ValueError("rle: K exceeds run-length gamma range")
+        streams, lengths = encode_device(jnp.asarray(block), K, order1)
+        return blockio.pack(np.asarray(streams), np.asarray(lengths))
+
+    def decode_block(payload: bytes, n: int, lanes: int = 512,
+                     step_quant: int = 64, **_unused) -> np.ndarray:
+        K = blockio.K_for(n, lanes, step_quant)
+        M = (8 + 1 + 2 * RUN_W) * K + 2
+        streams = blockio.unpack(payload, lanes, M)
+        block = np.asarray(decode_device(jnp.asarray(streams), K, order1))
+        return block.astype(np.uint8).reshape(-1)[:n]
+
+    return encode_block, decode_block
 
 
-def decode_block(payload: bytes, n: int, lanes: int = 512,
-                 step_quant: int = 64, **_unused) -> np.ndarray:
-    K = blockio.K_for(n, lanes, step_quant)
-    M = (8 + 1 + 2 * RUN_W) * K + 2
-    streams = blockio.unpack(payload, lanes, M)
-    block = np.asarray(decode_device(jnp.asarray(streams), K))
-    return block.astype(np.uint8).reshape(-1)[:n]
+encode_block, decode_block = make_block_api(order1=False)
+encode_block_o1, decode_block_o1 = make_block_api(order1=True)

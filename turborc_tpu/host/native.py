@@ -80,6 +80,42 @@ def _lzp_bind():
     return lib
 
 
+def _utf8_bind():
+    lib = load()
+    if not hasattr(lib.trc_utf8_enc, "_bound"):
+        for f in (lib.trc_utf8_enc, lib.trc_utf8_dec):
+            f.restype = ctypes.c_int64
+            f.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                          ctypes.c_int64]
+            f._bound = True
+    return lib
+
+
+def utf8_remap(data: np.ndarray):
+    """UTF-8 preprocess: remap code points to dense 1-2 byte ids.
+
+    Returns the remapped array, or None if the input is not valid UTF-8
+    (or the alphabet is too large) - caller falls back to raw bytes.
+    """
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty(2 * data.shape[0] + 64, np.uint8)
+    r = _utf8_bind().trc_utf8_enc(data.ctypes.data, data.shape[0],
+                                  out.ctypes.data, out.shape[0])
+    if r < 0:
+        return None
+    return out[:r].copy()
+
+
+def utf8_unmap(data: np.ndarray, orig_len: int) -> np.ndarray:
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty(orig_len, np.uint8)
+    r = _utf8_bind().trc_utf8_dec(data.ctypes.data, data.shape[0],
+                                  out.ctypes.data, orig_len)
+    if r != orig_len:
+        raise ValueError("utf8 decode failed: corrupt stream")
+    return out
+
+
 def lzp(data: np.ndarray, minlen: int = 32):
     """LZP preprocess; returns compressed bytes or None if no gain."""
     data = np.ascontiguousarray(data, np.uint8)

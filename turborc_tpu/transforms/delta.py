@@ -55,6 +55,23 @@ def xor_dec(data: np.ndarray, esize: int = 1) -> np.ndarray:
     return np.concatenate([out, data[len(out):]])
 
 
+def negabinary_enc(data: np.ndarray, esize: int = 1) -> np.ndarray:
+    """Base -2 style signed mapping (reference negabinary, rcutil.c:657):
+    v -> (v + M) ^ M with M = 0xAAAA.. interleaves signed values so small
+    magnitudes of either sign get small unsigned codes."""
+    e = data[: len(data) - len(data) % esize].view(f"<u{esize}")
+    m = e.dtype.type(int("AA" * esize, 16))
+    out = ((e + m) ^ m).astype(e.dtype).view(np.uint8)
+    return np.concatenate([out, data[len(out):]])
+
+
+def negabinary_dec(data: np.ndarray, esize: int = 1) -> np.ndarray:
+    e = data[: len(data) - len(data) % esize].view(f"<u{esize}")
+    m = e.dtype.type(int("AA" * esize, 16))
+    out = ((e ^ m) - m).astype(e.dtype).view(np.uint8)
+    return np.concatenate([out, data[len(out):]])
+
+
 def wrap_codec(enc_block, dec_block, fwd, inv, esize: int = 1):
     """Compose a transform around a block codec (zigzag/delta variants)."""
 
