@@ -23,8 +23,9 @@ def markov_text(n: int, seed: int = 0xBEEF) -> np.ndarray:
     rng = np.random.default_rng(seed)
     A = 64
     alpha = np.frombuffer(
-        b"abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ.,;:'\"()-\n",
+        b"abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ.,;:'\"()-?\n",
         np.uint8)
+    assert alpha.shape[0] == A
     w = 1.0 / np.arange(1, 9) ** 1.7
     w /= w.sum()
     fns = rng.integers(0, A, size=(8, A)).astype(np.uint8)

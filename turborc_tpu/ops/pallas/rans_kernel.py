@@ -361,8 +361,117 @@ def encode_tile_pallas(block: jnp.ndarray, K: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(probs)
-    return _group_stitch(words, emit.astype(jnp.bool_),
-                         state.astype(jnp.uint32))
+    return place_tile(words, emit, state, K)
+
+
+# ---------------------------------------------------------------------------
+# placement kernel: compact per-slot emissions into consumption-order
+# group streams.  This is the encode-side mirror of the decode fetch: the
+# words emitted at forward slot t by the needing lanes of a group occupy
+# the next `count` consecutive stream positions in lane order.  A plain
+# XLA scatter for this compaction is ~70x slower than the coding kernels
+# (serialized scatter), so it runs as a kernel: per slot, words are
+# roll-accumulated into a VMEM window at (p + rank) offsets, and the
+# window is flushed to HBM once per grid step with overlapping rewrites
+# (later steps rewrite the partial tail rows).
+# ---------------------------------------------------------------------------
+
+PROWS = 2 * CHUNK + 4  # placement window rows: max 2*CHUNK*128 words + slack
+
+
+def _place_kernel(words_ref, emit_ref, out_ref, acc, pword, prow, sem):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        acc[:, :, :] = jnp.zeros((GROUPS, PROWS, GLANES), jnp.int32)
+        for s in range(GROUPS):
+            pword[s] = 256  # data starts after the 2 flush-state rows
+            prow[s] = 0
+
+    # in-window word offset per group (absolute pos - window base row)
+    p = jnp.stack([pword[s] - prow[s] * 128
+                   for s in range(GROUPS)])[:, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
+
+    for t in range(2 * CHUNK):
+        need = emit_ref[t] != 0
+        w = jnp.where(need, words_ref[t], 0)
+        rank = _prefix_sum_lanes(need.astype(jnp.int32))
+        f = p + rank                       # window word offset per lane
+        col = f & 127
+        # one slot's words span at most rows r_lo and r_lo+1 (<=128 words)
+        r_lo = p >> 7                      # (GROUPS, 1) scalar row per group
+        in_hi = (f >> 7) > r_lo
+        d = (col - lane) & 127
+        c0 = jnp.zeros((GROUPS, GLANES), jnp.int32)
+        c1 = jnp.zeros((GROUPS, GLANES), jnp.int32)
+        needi = need.astype(jnp.int32)
+        for k in range(GLANES):
+            hit = (pltpu.roll(d, k, 1) == k) & (pltpu.roll(needi, k, 1) != 0)
+            wk = jnp.where(hit, pltpu.roll(w, k, 1), 0)
+            hi = pltpu.roll(in_hi.astype(jnp.int32), k, 1) != 0
+            c0 = c0 + jnp.where(hi, 0, wk)
+            c1 = c1 + jnp.where(hi, wk, 0)
+        # add the two contribution rows into the window at (r_lo, r_lo+1)
+        for rr in range(PROWS):
+            sel0 = (r_lo == rr).astype(jnp.int32)
+            sel1 = (r_lo + 1 == rr).astype(jnp.int32)
+            acc[:, rr, :] = acc[:, rr, :] + sel0 * c0 + sel1 * c1
+        p = p + jnp.sum(needi, axis=1, keepdims=True)
+
+    # flush the window to HBM at each group's base row (overlapping
+    # rewrites: the partial tail is rewritten complete by later steps)
+    copies = [pltpu.make_async_copy(
+        acc.at[s], out_ref.at[s, pl.ds(prow[s], PROWS), :], sem.at[s])
+        for s in range(GROUPS)]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
+    # shift the accumulator down by the completed rows
+    shift = p >> 7                         # (GROUPS, 1)
+    sh = shift[:, :, None]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, PROWS, GLANES), 1)
+    shifted = jnp.zeros((GROUPS, PROWS, GLANES), jnp.int32)
+    for v in range(PROWS):
+        shifted = shifted + jnp.where(
+            rows + sh == v, acc[:, v, :][:, None, :], 0)
+    acc[:, :, :] = shifted
+    for s in range(GROUPS):
+        prow[s] = prow[s] + shift[s, 0]
+        pword[s] = prow[s] * 128 + (p[s, 0] - shift[s, 0] * 128)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
+               K: int):
+    """words/emit [2K, GROUPS, GLANES], state [GROUPS, GLANES] ->
+    (gstreams [GROUPS, R, GLANES], glens [GROUPS])."""
+    S = 2 * K
+    R = S + 2 + WROWS
+    n = K // CHUNK
+    out = pl.pallas_call(
+        _place_kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((GROUPS, R, GLANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((GROUPS, PROWS, GLANES), jnp.int32),  # acc window
+            pltpu.SMEM((GROUPS,), jnp.int32),                # pword
+            pltpu.SMEM((GROUPS,), jnp.int32),                # prow
+            pltpu.SemaphoreType.DMA((GROUPS,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(words, emit)
+    out = out.at[:, 0, :].set((state >> 16).astype(jnp.int32))
+    out = out.at[:, 1, :].set((state & 0xFFFF).astype(jnp.int32))
+    glens = 256 + jnp.sum(emit, axis=(0, 2))
+    return out, glens
 
 
 # ---------------------------------------------------------------------------
