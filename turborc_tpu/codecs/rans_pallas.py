@@ -6,7 +6,11 @@ order (see ops/pallas/rans_kernel.py).  The reference similarly registers
 the SIMD build of the same codec under its own bench id (anscdf sse,
 id 57) - identical model, different interleave.
 
-Payload: [GROUPS] u32 group word counts + concatenated group streams (u16).
+Payload: [16] u16 hi CDF freqs + [256] u16 lo CDF freqs (warm-start
+model tables from the block's nibble statistics - with 4096 short lanes
+the per-lane adaptation ramp is the dominant ratio cost; cf. the
+reference's static cdfini, rccdf.c:50-68) + [GROUPS] u32 group word
+counts + concatenated group streams (u16).
 """
 from __future__ import annotations
 
@@ -18,6 +22,8 @@ from turborc_tpu.ops.pallas import rans_kernel as K_
 
 GROUPS = K_.GROUPS
 LANES = K_.LANES
+TOTAL = 1 << 15
+_TBL_BYTES = 2 * (16 + 256)
 
 
 def _K_for(n: int) -> int:
@@ -25,28 +31,67 @@ def _K_for(n: int) -> int:
     return max(-(-K // K_.CHUNK) * K_.CHUNK, K_.CHUNK)
 
 
+def _quantize(counts: np.ndarray) -> np.ndarray:
+    """[..., 16] counts -> freq rows summing 2^15 with freq >= 1."""
+    c = counts.astype(np.int64) + 1
+    n = c.sum(axis=-1, keepdims=True)
+    f = np.maximum(1, c * (TOTAL - 16) // n)
+    idx = np.argmax(c, axis=-1)
+    np.put_along_axis(f, idx[..., None],
+                      np.take_along_axis(f, idx[..., None], -1)
+                      + TOTAL - f.sum(axis=-1, keepdims=True), -1)
+    return f.astype(np.uint16)
+
+
+def build_tables(data: np.ndarray):
+    """(hi freqs [16], lo freqs [16,16]) from the block's nibbles."""
+    hi, lo = data >> 4, data & 15
+    hi_f = _quantize(np.bincount(hi, minlength=16))
+    joint = np.bincount((hi.astype(np.int32) << 4) | lo, minlength=256)
+    lo_f = _quantize(joint.reshape(16, 16))
+    return hi_f, lo_f
+
+
+def _cumulative(freqs: np.ndarray) -> np.ndarray:
+    """freq rows [..., 16] -> cumulative cdf rows (cdf[0] = 0) int32."""
+    cdf = np.zeros(freqs.shape, np.int32)
+    cdf[..., 1:] = np.cumsum(freqs, axis=-1)[..., :-1].astype(np.int32)
+    return cdf
+
+
 def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
                  **_unused) -> bytes:
     n = data.shape[0]
     K = _K_for(n)
+    hi_f, lo_f = build_tables(data)
+    hi_tbl = jnp.asarray(_cumulative(hi_f))
+    lo_tbl = jnp.asarray(_cumulative(lo_f).reshape(256))
     padded = np.zeros(LANES * K, np.uint8)
     padded[:n] = data
     block = jnp.asarray(padded.reshape(LANES, K).astype(np.int32))
     enc = K_.encode_tile_pallas if use_pallas_encoder else K_.encode_tile
-    gstreams, glens = enc(block, K)
+    gstreams, glens = enc(block, K, hi_tbl, lo_tbl)
     gstreams = np.asarray(gstreams).reshape(GROUPS, -1)
     glens = np.asarray(glens).astype(np.int64)
     keep = np.arange(gstreams.shape[1])[None, :] < glens[:, None]
     flat = gstreams[keep].astype(np.uint16)
-    return glens.astype("<u4").tobytes() + flat.astype("<u2").tobytes()
+    return (hi_f.astype("<u2").tobytes() + lo_f.astype("<u2").tobytes()
+            + glens.astype("<u4").tobytes() + flat.astype("<u2").tobytes())
 
 
 def decode_block(payload: bytes, n: int, **_unused) -> np.ndarray:
     K = _K_for(n)
-    if len(payload) < 4 * GROUPS:
-        raise ValueError("corrupt payload: truncated group length table")
-    glens = np.frombuffer(payload[:4 * GROUPS], "<u4").astype(np.int64)
-    flat = np.frombuffer(payload[4 * GROUPS:len(payload) & ~1], "<u2")
+    if len(payload) < _TBL_BYTES + 4 * GROUPS:
+        raise ValueError("corrupt payload: truncated header")
+    hi_f = np.frombuffer(payload[:32], "<u2").astype(np.int64)
+    lo_f = np.frombuffer(payload[32:_TBL_BYTES], "<u2").astype(
+        np.int64).reshape(16, 16)
+    if hi_f.sum() != TOTAL or (lo_f.sum(axis=-1) != TOTAL).any():
+        raise ValueError("corrupt payload: bad warm-start tables")
+    off = _TBL_BYTES
+    glens = np.frombuffer(payload[off:off + 4 * GROUPS], "<u4").astype(
+        np.int64)
+    flat = np.frombuffer(payload[off + 4 * GROUPS:len(payload) & ~1], "<u2")
     R = 2 * K + 2 + K_.WROWS
     if glens.max() > R * 128 or glens.min() < 256 or \
             glens.sum() != flat.size:
@@ -54,7 +99,9 @@ def decode_block(payload: bytes, n: int, **_unused) -> np.ndarray:
     gstreams = np.zeros((GROUPS, R * 128), np.int32)
     keep = np.arange(R * 128)[None, :] < glens[:, None]
     gstreams[keep] = flat
-    out = K_.decode_tile(jnp.asarray(gstreams.reshape(GROUPS, R, 128)), K)
+    out = K_.decode_tile(jnp.asarray(gstreams.reshape(GROUPS, R, 128)), K,
+                         jnp.asarray(_cumulative(hi_f)),
+                         jnp.asarray(_cumulative(lo_f).reshape(256)))
     # out [K, GROUPS, 128] -> [LANES, K] -> flat
     block = np.asarray(out).reshape(K, LANES).T
     return block.astype(np.uint8).reshape(-1)[:n]

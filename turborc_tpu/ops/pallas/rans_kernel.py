@@ -127,12 +127,27 @@ def _staircase(i):
     return jnp.full((GROUPS, GLANES), i << (RC_BITS - 4), jnp.int32)
 
 
+# Warm-start model init: all 4096 lanes start from the block's nibble
+# statistics instead of the uniform staircase.  With thousands of short
+# lanes the per-lane adaptation ramp is the dominant ratio cost; the
+# tables (16 + 16x16 cumulative u16) ride in the payload (544 bytes) and
+# both sides rebuild identical initial state.  (The reference's static
+# cdfini, rccdf.c:50-68, plays the same role for its static codecs.)
+
+def _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl):
+    for i in range(16):
+        cdf_hi[i] = jnp.full((GROUPS, GLANES), hi_tbl[i], jnp.int32)
+        for h in range(16):
+            cdf_lo[h, i] = jnp.full((GROUPS, GLANES), lo_tbl[h * 16 + i],
+                                    jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # decode kernel
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(stream_ref, out_ref, states, cdf_hi, cdf_lo, window,
-                   pword, sem):
+def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
+                   cdf_lo, window, pword, sem):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -153,10 +168,7 @@ def _decode_kernel(stream_ref, out_ref, states, cdf_hi, cdf_lo, window,
     @pl.when(g == 0)
     def _():
         states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
-        for i in range(16):
-            cdf_hi[i] = _staircase(i)
-            for h in range(16):
-                cdf_lo[h, i] = _staircase(i)
+        _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
 
     # in-window word offset per group, broadcast over lanes
     # (at g==0 the window starts at row 0 and rows 0-1 hold flush states)
@@ -207,15 +219,26 @@ def _decode_kernel(stream_ref, out_ref, states, cdf_hi, cdf_lo, window,
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def decode_tile(gstreams: jnp.ndarray, K: int) -> jnp.ndarray:
+def decode_tile(gstreams: jnp.ndarray, K: int,
+                hi_tbl: jnp.ndarray | None = None,
+                lo_tbl: jnp.ndarray | None = None) -> jnp.ndarray:
     """gstreams [GROUPS, R, GLANES] int32 (consumption-order + state rows,
-    padded with >= WROWS extra rows) -> bytes [K, GROUPS, GLANES]."""
+    padded with >= WROWS extra rows) -> bytes [K, GROUPS, GLANES].
+
+    hi_tbl [16] / lo_tbl [256] int32: warm-start cumulative CDF tables
+    (defaults reproduce the uniform staircase)."""
     assert K % CHUNK == 0
+    if hi_tbl is None:
+        hi_tbl = jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4)
+    if lo_tbl is None:
+        lo_tbl = jnp.tile(jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4),
+                          16)
     grid = K // CHUNK
     return pl.pallas_call(
         _decode_kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 +
+        [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((CHUNK, GROUPS, GLANES),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -230,7 +253,7 @@ def decode_tile(gstreams: jnp.ndarray, K: int) -> jnp.ndarray:
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(gstreams)
+    )(hi_tbl, lo_tbl, gstreams)
 
 
 # ---------------------------------------------------------------------------
@@ -245,16 +268,13 @@ def _cdf_lookup(cdf, sym):
     return low, nxt - low
 
 
-def _model_kernel(block_ref, probs_ref, cdf_hi, cdf_lo):
+def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo):
     """Forward model pass: per-nibble (low<<16 | freq) for the whole tile."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
-        for i in range(16):
-            cdf_hi[i] = _staircase(i)
-            for h in range(16):
-                cdf_lo[h, i] = _staircase(i)
+        _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
 
     hi_t = [cdf_hi[i] for i in range(16)]
     for t in range(CHUNK):
@@ -322,15 +342,23 @@ def _coder_kernel(probs_ref, words_ref, emit_ref, stout_ref, states):
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def encode_tile_pallas(block: jnp.ndarray, K: int):
+def encode_tile_pallas(block: jnp.ndarray, K: int,
+                       hi_tbl: jnp.ndarray | None = None,
+                       lo_tbl: jnp.ndarray | None = None):
     """block [LANES, K] -> (gstreams, glens) via the Pallas passes."""
     assert K % CHUNK == 0
+    if hi_tbl is None:
+        hi_tbl = jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4)
+    if lo_tbl is None:
+        lo_tbl = jnp.tile(jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4),
+                          16)
     cols = block.T.reshape(K, GROUPS, GLANES)
     probs = pl.pallas_call(
         _model_kernel,
         grid=(K // CHUNK,),
-        in_specs=[pl.BlockSpec((CHUNK, GROUPS, GLANES), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 +
+        [pl.BlockSpec((CHUNK, GROUPS, GLANES), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -341,7 +369,7 @@ def encode_tile_pallas(block: jnp.ndarray, K: int):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(cols)
+    )(hi_tbl, lo_tbl, cols)
 
     n = K // CHUNK
     words, emit, state = pl.pallas_call(
@@ -479,7 +507,9 @@ def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def encode_tile(block: jnp.ndarray, K: int):
+def encode_tile(block: jnp.ndarray, K: int,
+                hi_tbl: jnp.ndarray | None = None,
+                lo_tbl: jnp.ndarray | None = None):
     """block [LANES, K] int32 bytes -> (gstreams [8, R, 128], glens [8]).
 
     Model+coding passes are shared with the XLA codec; only the stitch
@@ -491,6 +521,13 @@ def encode_tile(block: jnp.ndarray, K: int):
     L = block.shape[0]
     assert L == LANES
     cols = block.T
+    if hi_tbl is None:
+        hi_tbl = jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4)
+    if lo_tbl is None:
+        lo_tbl = jnp.tile(jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4),
+                          16)
+    init_models = (jnp.broadcast_to(hi_tbl, (L, 16)),
+                   jnp.broadcast_to(lo_tbl.reshape(16, 16), (L, 16, 16)))
 
     def fwd(carry, b):
         cdf_hi, cdf_lo = carry
@@ -506,7 +543,7 @@ def encode_tile(block: jnp.ndarray, K: int):
         return (cdf_hi, cdf_lo), (jnp.stack([jnp.stack([low_h, fr_h]),
                                              jnp.stack([low_l, fr_l])]))
 
-    _, probs = jax.lax.scan(fwd, rans_cdf_o0._model_init(L), cols)
+    _, probs = jax.lax.scan(fwd, init_models, cols)
     probs = probs.reshape(2 * K, 2, L)
     words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
     S = 2 * K
