@@ -1,7 +1,39 @@
-"""Shared host-side block shaping and lane-stream packing."""
+"""Shared host-side block shaping, lane-stream packing, and warm-start
+CDF16 table construction."""
 from __future__ import annotations
 
 import numpy as np
+
+TOTAL = 1 << 15
+
+
+def quantize_freqs(counts: np.ndarray) -> np.ndarray:
+    """[..., 16] counts -> freq rows summing 2^15 with freq >= 1."""
+    c = counts.astype(np.int64) + 1
+    n = c.sum(axis=-1, keepdims=True)
+    f = np.maximum(1, c * (TOTAL - 16) // n)
+    idx = np.argmax(c, axis=-1)
+    np.put_along_axis(f, idx[..., None],
+                      np.take_along_axis(f, idx[..., None], -1)
+                      + TOTAL - f.sum(axis=-1, keepdims=True), -1)
+    return f.astype(np.uint16)
+
+
+def nibble_tables(data: np.ndarray):
+    """(hi freqs [16], lo freqs [16,16]) from a block's nibbles -
+    warm-start statistics for the adaptive CDF16 models."""
+    hi, lo = data >> 4, data & 15
+    hi_f = quantize_freqs(np.bincount(hi, minlength=16))
+    joint = np.bincount((hi.astype(np.int32) << 4) | lo, minlength=256)
+    lo_f = quantize_freqs(joint.reshape(16, 16))
+    return hi_f, lo_f
+
+
+def cumulative(freqs: np.ndarray) -> np.ndarray:
+    """freq rows [..., 16] -> cumulative cdf rows (cdf[0] = 0) int32."""
+    cdf = np.zeros(freqs.shape, np.int32)
+    cdf[..., 1:] = np.cumsum(freqs, axis=-1)[..., :-1].astype(np.int32)
+    return cdf
 
 
 def K_for(n: int, lanes: int, step_quant: int) -> int:

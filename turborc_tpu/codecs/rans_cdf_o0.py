@@ -33,8 +33,13 @@ def _lo_put(cdf_lo, sel, row_old, row_new):
     return cdf_lo + (row_new - row_old)[:, None, :] * sel[:, :, None]
 
 
-def _model_init(L: int):
-    return cdf16.init((L,)), cdf16.init((L, 16))
+def _model_init(L: int, hi_tbl=None, lo_tbl=None):
+    """Per-lane model tables; optionally warm-started from block stats
+    (cumulative [16] / [16,16] int32 rows, see blockio.nibble_tables)."""
+    if hi_tbl is None:
+        return cdf16.init((L,)), cdf16.init((L, 16))
+    return (jnp.broadcast_to(hi_tbl, (L, 16)),
+            jnp.broadcast_to(lo_tbl, (L, 16, 16)))
 
 
 # byte-columns processed per scan iteration: amortizes the fixed per-step
@@ -43,7 +48,7 @@ UNROLL = 16
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def encode_device(block: jnp.ndarray, K: int):
+def encode_device(block: jnp.ndarray, K: int, hi_tbl=None, lo_tbl=None):
     """block [L, K] int32 bytes -> (streams [L, 2K+2] i32, lengths [L])."""
     L = block.shape[0]
     U = UNROLL if K % UNROLL == 0 else 1
@@ -66,14 +71,14 @@ def encode_device(block: jnp.ndarray, K: int):
         # [U, 2(sym), 2(low/freq), L]
         return (cdf_hi, cdf_lo), jnp.stack(outs)
 
-    _, probs = jax.lax.scan(fwd, _model_init(L), cols)
+    _, probs = jax.lax.scan(fwd, _model_init(L, hi_tbl, lo_tbl), cols)
     probs = probs.reshape(2 * K, 2, L)  # symbol-time major
     words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
     return rans.stitch(words, emit, state)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def decode_device(streams: jnp.ndarray, K: int):
+def decode_device(streams: jnp.ndarray, K: int, hi_tbl=None, lo_tbl=None):
     """streams [L, 2K+2] int32 words -> block [L, K] int32 bytes."""
     L = streams.shape[0]
     state, pos = rans.dec_init(streams)
@@ -101,7 +106,7 @@ def decode_device(streams: jnp.ndarray, K: int):
             outs.append((hi << 4) | lo)
         return (cdf_hi, cdf_lo, state, pos), jnp.stack(outs)
 
-    cdf_hi, cdf_lo = _model_init(L)
+    cdf_hi, cdf_lo = _model_init(L, hi_tbl, lo_tbl)
     _, bytes_t = jax.lax.scan(dec, (cdf_hi, cdf_lo, state, pos), None,
                               length=K // U)
     return bytes_t.reshape(K, L).T  # [L, K]
@@ -119,18 +124,36 @@ _pack = blockio.pack
 _unpack = blockio.unpack
 
 
+_TBL_BYTES = 2 * (16 + 256)
+
+
 def encode_block(data: np.ndarray, lanes: int = 512,
                  step_quant: int = 256, **_unused) -> bytes:
-    """Encode one block -> payload bytes (lane lengths + stitched streams)."""
+    """Encode one block -> payload: warm-start tables (544 B) + lane
+    lengths + stitched streams."""
+    hi_f, lo_f = blockio.nibble_tables(data)
     block, K = _shape_block(data, lanes, step_quant)
-    streams, lengths = encode_device(jnp.asarray(block), K)
-    return _pack(np.asarray(streams), np.asarray(lengths))
+    streams, lengths = encode_device(
+        jnp.asarray(block), K, jnp.asarray(blockio.cumulative(hi_f)),
+        jnp.asarray(blockio.cumulative(lo_f)))
+    return (hi_f.astype("<u2").tobytes() + lo_f.astype("<u2").tobytes()
+            + _pack(np.asarray(streams), np.asarray(lengths)))
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 512,
                  step_quant: int = 256, **_unused) -> np.ndarray:
     """Decode one block payload back to n bytes."""
+    if len(payload) < _TBL_BYTES:
+        raise ValueError("corrupt payload: truncated warm-start tables")
+    hi_f = np.frombuffer(payload[:32], "<u2").astype(np.int64)
+    lo_f = np.frombuffer(payload[32:_TBL_BYTES], "<u2").astype(
+        np.int64).reshape(16, 16)
+    if hi_f.sum() != blockio.TOTAL or \
+            (lo_f.sum(axis=-1) != blockio.TOTAL).any():
+        raise ValueError("corrupt payload: bad warm-start tables")
     K = _K_for(n, lanes, step_quant)
-    streams = _unpack(payload, lanes, 2 * K + 2)
-    block = np.asarray(decode_device(jnp.asarray(streams), K))
+    streams = _unpack(payload[_TBL_BYTES:], lanes, 2 * K + 2)
+    block = np.asarray(decode_device(
+        jnp.asarray(streams), K, jnp.asarray(blockio.cumulative(hi_f)),
+        jnp.asarray(blockio.cumulative(lo_f))))
     return block.astype(np.uint8).reshape(-1)[:n]

@@ -22,41 +22,17 @@ from turborc_tpu.ops.pallas import rans_kernel as K_
 
 GROUPS = K_.GROUPS
 LANES = K_.LANES
+from turborc_tpu.codecs import blockio as _bio
+
 TOTAL = 1 << 15
 _TBL_BYTES = 2 * (16 + 256)
+build_tables = _bio.nibble_tables
+_cumulative = _bio.cumulative
 
 
 def _K_for(n: int) -> int:
     K = -(-n // LANES)
     return max(-(-K // K_.CHUNK) * K_.CHUNK, K_.CHUNK)
-
-
-def _quantize(counts: np.ndarray) -> np.ndarray:
-    """[..., 16] counts -> freq rows summing 2^15 with freq >= 1."""
-    c = counts.astype(np.int64) + 1
-    n = c.sum(axis=-1, keepdims=True)
-    f = np.maximum(1, c * (TOTAL - 16) // n)
-    idx = np.argmax(c, axis=-1)
-    np.put_along_axis(f, idx[..., None],
-                      np.take_along_axis(f, idx[..., None], -1)
-                      + TOTAL - f.sum(axis=-1, keepdims=True), -1)
-    return f.astype(np.uint16)
-
-
-def build_tables(data: np.ndarray):
-    """(hi freqs [16], lo freqs [16,16]) from the block's nibbles."""
-    hi, lo = data >> 4, data & 15
-    hi_f = _quantize(np.bincount(hi, minlength=16))
-    joint = np.bincount((hi.astype(np.int32) << 4) | lo, minlength=256)
-    lo_f = _quantize(joint.reshape(16, 16))
-    return hi_f, lo_f
-
-
-def _cumulative(freqs: np.ndarray) -> np.ndarray:
-    """freq rows [..., 16] -> cumulative cdf rows (cdf[0] = 0) int32."""
-    cdf = np.zeros(freqs.shape, np.int32)
-    cdf[..., 1:] = np.cumsum(freqs, axis=-1)[..., :-1].astype(np.int32)
-    return cdf
 
 
 def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
