@@ -4,7 +4,7 @@ Hardware constraints probed on this chip: no vector gathers, no unaligned
 minor-dim dynamic slices, no int16 vregs - but dynamic-offset DMA
 (HBM->VMEM) and pltpu.roll work.  The kernels are built gather-free.
 
-DECODE.  1024 lanes = 8 groups x 128 VPU lanes.  Each group owns one
+DECODE.  GROUPS x 128 VPU lanes (8192 on v5e).  Each group owns one
 stream in *consumption order*: words appear exactly in the order the
 group's lanes renorm (step-major, lane-minor), so each nibble step reads a
 contiguous word run.  Group stream layout [R rows, 128]: rows 0-1 are the
@@ -14,10 +14,10 @@ Per nibble step:
   1. CDF16 search + state transition: elementwise 16-wide int32 VPU math
      (the reference's AVX2 cdf16ansdec, cdf_.h:52-59, widened to 128 lanes)
   2. renorm mask -> per-lane rank via a log2(128) prefix sum (pltpu.roll)
-  3. word fetch: the needed words are the next `count` of the group
-     stream; select from a 2-row (256-word) window via per-sublane
-     broadcast compare+sum - no gather
-  4. the window slides by dynamic-offset DMA once per grid step
+  3. word fetch: the next `count` words of the group stream distribute to
+     the needing lanes via a 7-stage barrel gather over a 2-tile register
+     queue; dequeue/refill are per-group-constant barrel rotations fed by
+     a VMEM window that slides by dynamic-offset DMA once per grid step
 
 All arithmetic is int32 (freq*(state>>15) <= 32768*(2^16-1) < 2^31).
 
@@ -43,10 +43,15 @@ CDFRATE = 7
 IC = 10
 MIXD = (TOTAL - 1) & ~31
 
-GROUPS = 32                  # sublane rows per tile op (ILP: 4 vregs/op)
+# Tile geometry, swept on v5e: the kernels are LATENCY-bound (serial
+# dependency chains per nibble), so wider tiles are nearly free
+# throughput - 64 groups decodes ~1.5x faster than 32 at equal clock.
+# GROUPS is part of the stream format (per-group length table + streams);
+# CHUNK is kernel-internal.
+GROUPS = 64                  # sublane rows per tile op (8 vregs/op)
 GLANES = 128
-LANES = GROUPS * GLANES      # 4096 lanes per kernel tile
-CHUNK = 16                   # byte steps per grid step
+LANES = GROUPS * GLANES      # 8192 lanes per kernel tile
+CHUNK = 8                    # byte steps per grid step
 WROWS = 2 * CHUNK + 8        # stream window rows per group
 
 
@@ -143,11 +148,58 @@ def _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl):
 
 
 # ---------------------------------------------------------------------------
+# barrel-shifter primitives (log-depth data movement)
+#
+# A per-lane variable shift out[l] = x[l - z_l] decomposes into 7
+# conditional rolls (high bit to low) EXACTLY when z is lane-monotone
+# with increments in {0, 1}: bit k of z_l set implies every lane in
+# [l - 2^k, l] shares z's bits above k, so partial moves compose.  Rank
+# sequences (prefix sums of 0/1 masks) have exactly this shape.  A
+# per-group CONSTANT distance is the degenerate monotone case, which
+# gives cyclic rotations by a traced per-group amount.
+# ---------------------------------------------------------------------------
+
+def _barrel_gather(x, z):
+    """out[l] = x[l - z_l] for monotone z (increments 0/1), z in [0,127]."""
+    for k in (64, 32, 16, 8, 4, 2, 1):
+        x = jnp.where((z & k) != 0, pltpu.roll(x, k, 1), x)
+    return x
+
+
+def _rot_right(x, c):
+    """Cyclic right rotation by per-group constant c [G,1] in [0,128)."""
+    for k in (64, 32, 16, 8, 4, 2, 1):
+        x = jnp.where((c & k) != 0, pltpu.roll(x, k, 1), x)
+    return x
+
+
+def _shift_pair_left(q0, q1, c, lane):
+    """(q0,q1) viewed as a 256-word row shifted left by per-group c
+    in [0,128]: new q0 = pair[c : c+128], new q1 = pair[c+128 :] ++ junk."""
+    cm = c & 127
+    r0 = _rot_right(q0, (128 - cm) & 127)   # == left-rotate by cm
+    r1 = _rot_right(q1, (128 - cm) & 127)
+    take_hi = lane >= (128 - cm)
+    n0 = jnp.where(take_hi, r1, r0)
+    n1 = jnp.where(take_hi, r0, r1)  # junk beyond valid count (tracked)
+    full = c >= 128
+    n0 = jnp.where(full, q1, n0)
+    n1 = jnp.where(full, q1, n1)     # c == 128: q1 becomes head, tail junk
+    return n0, n1
+
+
+# ---------------------------------------------------------------------------
 # decode kernel
 # ---------------------------------------------------------------------------
 
 def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
-                   cdf_lo, window, pword, sem):
+                   cdf_lo, queue, window, pword, vq, sem):
+    """Queue-based decode: the next 256 unconsumed words of each group
+    live in two register tiles (queue); the per-fetch word distribution
+    is a 7-stage barrel gather (monotone rank distances) instead of a
+    128-way roll-select, and dequeue/refill are per-group-constant
+    rotations.  The VMEM window keeps feeding the queue one row at a
+    time; it slides by DMA once per grid step as before."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -155,7 +207,7 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
         for s in range(GROUPS):
             pword[s] = 0
 
-    # ---- slide the stream windows (base = current row of each group)
+    # ---- slide the stream windows (base = current consumed row)
     base_row = [pword[s] >> 7 for s in range(GROUPS)]
     copies = [pltpu.make_async_copy(
         stream_ref.at[s, pl.ds(base_row[s], WROWS), :],
@@ -169,33 +221,50 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
     def _():
         states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
         _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
+        queue[0] = window[:, 2, :]
+        queue[1] = window[:, 3, :]
 
-    # in-window word offset per group, broadcast over lanes
-    # (at g==0 the window starts at row 0 and rows 0-1 hold flush states)
-    p = jnp.stack([pword[s] & 127 for s in range(GROUPS)])[:, None]
-    p = jnp.where(g == 0, 256, p)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
+    base_v = jnp.stack(base_row)[:, None]           # (G,1) window base row
+    # absolute queue-head position (the 2 flush-state rows count as
+    # consumed, so the head starts at word 256 with rows 2-3 queued);
+    # pword persists the head, which also drives the window DMA base
+    consumed = jnp.stack([pword[s] for s in range(GROUPS)])[:, None]
+    consumed = jnp.where(g == 0, 256, consumed)
+    vcnt = jnp.stack([vq[s] for s in range(GROUPS)])[:, None]
+    vcnt = jnp.where(g == 0, 256, vcnt)  # valid words in queue, in (128,256]
+    q0, q1 = queue[0], queue[1]
     state = states[:, :]
     hi_t = [cdf_hi[i] for i in range(16)]
 
-    def fetch(state, p):
+    def fetch(state, q0, q1, vcnt, consumed):
         need = state < ANS_LOW
-        rank = _prefix_sum_lanes(need.astype(jnp.int32))
-        f = p + rank
-        r0 = p >> 7          # (GROUPS, 1)
-        row0 = _treesum([jnp.where(r0 == w, window[:, w, :], 0)
-                         for w in range(WROWS)])
-        row1 = _treesum([jnp.where(r0 == w, window[:, w + 1, :], 0)
-                         for w in range(WROWS - 1)])
-        col = f & 127
-        word = _lane_select2(row0, row1, (f >> 7) > r0, col)
+        needi = need.astype(jnp.int32)
+        rank = _prefix_sum_lanes(needi)
+        word = _barrel_gather(q0, lane - rank)
         state = jnp.where(need, (state << 16) | word, state)
-        p = p + jnp.sum(need.astype(jnp.int32), axis=1, keepdims=True)
-        return state, p
+        cnt = jnp.sum(needi, axis=1, keepdims=True)
+        q0, q1 = _shift_pair_left(q0, q1, cnt, lane)
+        vcnt = vcnt - cnt
+        consumed = consumed + cnt
+        # refill one window row when at most 128 words remain (cnt <= 128
+        # per fetch keeps vcnt >= 0; one row per fetch restores vcnt to
+        # (128, 256] because cnt <= 128)
+        refill = vcnt <= 128
+        fillrel = (consumed + vcnt) >> 7
+        fillrel = fillrel - base_v  # row to append, window-relative
+        row = _treesum([jnp.where(fillrel == w, window[:, w, :], 0)
+                        for w in range(WROWS)])
+        rs = _rot_right(row, vcnt & 127)
+        q0 = jnp.where(refill & (lane >= vcnt), rs, q0)
+        q1 = jnp.where(refill & (lane < vcnt), rs, q1)
+        vcnt = jnp.where(refill, vcnt + 128, vcnt)
+        return state, q0, q1, vcnt, consumed
 
     for t in range(CHUNK):
         # ---- hi nibble
         state, hi, hi_t = _dec_nibble(state, hi_t)
-        state, p = fetch(state, p)
+        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
 
         # ---- lo nibble: context-select the row, decode, write back
         row_t = [_treesum([jnp.where(hi == h, cdf_lo[h, i], 0)
@@ -205,16 +274,19 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
             hit = hi == h
             for i in range(16):
                 cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
-        state, p = fetch(state, p)
+        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
 
         out_ref[t] = (hi << 4) | lo
 
-    # ---- persist carry state (pword = absolute word position again)
+    # ---- persist carry state (pword = absolute consumed position)
     states[:, :] = state
+    queue[0] = q0
+    queue[1] = q1
     for i in range(16):
         cdf_hi[i] = hi_t[i]
     for s in range(GROUPS):
-        pword[s] = (base_row[s] << 7) + p[s, 0]
+        pword[s] = consumed[s, 0]
+        vq[s] = vcnt[s, 0]
 
 
 
@@ -247,12 +319,14 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
             pltpu.VMEM((GROUPS, GLANES), jnp.int32),          # states
             pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),      # cdf_hi
             pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),  # cdf_lo
+            pltpu.VMEM((2, GROUPS, GLANES), jnp.int32),       # queue
             pltpu.VMEM((GROUPS, WROWS, GLANES), jnp.int32),   # window
             pltpu.SMEM((GROUPS,), jnp.int32),                 # pword
+            pltpu.SMEM((GROUPS,), jnp.int32),                 # vq
             pltpu.SemaphoreType.DMA((GROUPS,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(hi_tbl, lo_tbl, gstreams)
 
 
@@ -368,7 +442,7 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
             pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(hi_tbl, lo_tbl, cols)
 
     n = K // CHUNK
@@ -387,7 +461,7 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
         * 2 + [jax.ShapeDtypeStruct((GROUPS, GLANES), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((GROUPS, GLANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(probs)
     return place_tile(words, emit, state, K)
 
@@ -494,7 +568,7 @@ def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
             pltpu.SemaphoreType.DMA((GROUPS,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(words, emit)
     out = out.at[:, 0, :].set((state >> 16).astype(jnp.int32))
     out = out.at[:, 1, :].set((state & 0xFFFF).astype(jnp.int32))
