@@ -1,0 +1,80 @@
+"""Multi-device scaling-efficiency reporter (SURVEY.md section 5/7).
+
+Block data parallelism over a jax Mesh is the framework's distribution
+axis; this driver measures aggregate encode+decode throughput at 1..N
+devices and reports scaling efficiency.  On a real multi-chip slice it
+measures ICI-attached chips; on a single-chip or CPU host it runs the
+virtual-device mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N),
+which validates the sharded program and the efficiency *methodology*
+(virtual devices share one socket, so virtual numbers are not hardware
+throughput).
+
+Usage: python -m turborc_tpu.bench.scaling [n_mb] [max_devices]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure(n_mb: float = 4, max_devices: int | None = None,
+            lanes: int = 256, reps: int = 2) -> list[dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from turborc_tpu.bench import corpus
+    from turborc_tpu.codecs import rans_cdf_o0 as C
+    from turborc_tpu.parallel import mesh as pmesh
+
+    ndev_all = len(jax.devices())
+    max_devices = min(max_devices or ndev_all, ndev_all)
+    n = int(n_mb * (1 << 20))
+    data = corpus.get("textbwt", n)
+
+    results = []
+    base = None
+    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= max_devices]
+    for ndev in counts:
+        mesh = pmesh.make_mesh(ndev)
+        B = ndev  # one block per device
+        per = n // B
+        n_used = per * B
+        blocks = np.stack([
+            C._shape_block(data[i * per:(i + 1) * per], lanes, 256)[0]
+            for i in range(B)])
+        K = blocks.shape[2]
+
+        t0 = time.perf_counter()
+        streams, lengths = pmesh.encode_blocks(blocks, K, C.encode_device,
+                                               mesh)
+        enc_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = pmesh.decode_blocks(streams, K, C.decode_device, mesh)
+        dec_s = (time.perf_counter() - t0) / reps
+        ok = bool(np.array_equal(out, blocks))
+
+        dec_mbs = n_used / dec_s / 1e6
+        if base is None:
+            base = dec_mbs
+        results.append(dict(
+            devices=ndev, decode_mbs=round(dec_mbs, 3),
+            encode_mbs=round(n_used / enc_s / 1e6, 3),
+            scaling_efficiency=round(dec_mbs / (base * ndev), 3),
+            roundtrip_ok=ok,
+        ))
+    return results
+
+
+def main():
+    n_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4
+    max_devices = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    for row in measure(n_mb, max_devices):
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
