@@ -173,6 +173,30 @@ def _rot_right(x, c):
     return x
 
 
+def _compact(w, need, lane):
+    """Monotone stream compaction: needing lanes' words move down to
+    dense front positions (their ranks), order preserved.  Low-bit-first
+    valid-masked barrel stages are collision-free for monotone routes
+    (the butterfly concentrator property: remaining distances of any two
+    packets meeting at a lane differ mod 2^(k+1), so exactly one moves).
+    """
+    rank = _prefix_sum_lanes(need.astype(jnp.int32))
+    dist = jnp.where(need, lane - rank, 0)
+    val = w
+    valid = need
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        move = valid & ((dist & k) != 0)
+        inc_val = pltpu.roll(val, 128 - k, 1)       # [l] <- [l+k]
+        inc_move = pltpu.roll(move.astype(jnp.int32), 128 - k, 1) != 0
+        inc_dist = pltpu.roll(dist, 128 - k, 1)
+        stay = valid & ~move
+        val = jnp.where(stay, val, jnp.where(inc_move, inc_val, val))
+        dist = jnp.where(stay, dist, jnp.where(inc_move, inc_dist - k,
+                                               dist))
+        valid = stay | inc_move
+    return val
+
+
 def _shift_pair_left(q0, q1, c, lane):
     """(q0,q1) viewed as a 256-word row shifted left by per-group c
     in [0,128]: new q0 = pair[c : c+128], new q1 = pair[c+128 :] ++ junk."""
@@ -371,16 +395,18 @@ def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo):
 
 
 def _exact_div(state, freq):
-    """q = state // freq for 0 <= state < 2^31, 1 <= freq <= 2^15.
+    """q = state // freq for 0 <= state < freq << 16, 1 <= freq <= 2^15.
 
-    Base-256 long division with f32 digit quotients (partial dividends
-    < 2^23 are f32-exact); plays the role of the reference's reciprocal
-    multiplication LUT (turborc_.h:163-196).
+    The coder calls this after renorm, which guarantees state < freq<<16,
+    i.e. q < 2^16: the two high base-256 digits of the long division are
+    zero and the remainder after them is simply state >> 16.  Two f32
+    digit steps remain (partial dividends < 2^23 are f32-exact); plays
+    the role of the reference's reciprocal LUT (turborc_.h:163-196).
     """
-    r = jnp.zeros_like(state)
+    r = state >> 16
     q = jnp.zeros_like(state)
     ff = freq.astype(jnp.float32)
-    for sh in (24, 16, 8, 0):
+    for sh in (8, 0):
         cur = (r << 8) | ((state >> sh) & 0xFF)
         qd = jnp.floor(cur.astype(jnp.float32) / ff).astype(jnp.int32)
         rd = cur - qd * freq
@@ -499,28 +525,23 @@ def _place_kernel(words_ref, emit_ref, out_ref, acc, pword, prow, sem):
     for t in range(2 * CHUNK):
         need = emit_ref[t] != 0
         w = jnp.where(need, words_ref[t], 0)
-        rank = _prefix_sum_lanes(need.astype(jnp.int32))
-        f = p + rank                       # window word offset per lane
-        col = f & 127
-        # one slot's words span at most rows r_lo and r_lo+1 (<=128 words)
-        r_lo = p >> 7                      # (GROUPS, 1) scalar row per group
-        in_hi = (f >> 7) > r_lo
-        d = (col - lane) & 127
-        c0 = jnp.zeros((GROUPS, GLANES), jnp.int32)
-        c1 = jnp.zeros((GROUPS, GLANES), jnp.int32)
         needi = need.astype(jnp.int32)
-        for k in range(GLANES):
-            hit = (pltpu.roll(d, k, 1) == k) & (pltpu.roll(needi, k, 1) != 0)
-            wk = jnp.where(hit, pltpu.roll(w, k, 1), 0)
-            hi = pltpu.roll(in_hi.astype(jnp.int32), k, 1) != 0
-            c0 = c0 + jnp.where(hi, 0, wk)
-            c1 = c1 + jnp.where(hi, wk, 0)
-        # add the two contribution rows into the window at (r_lo, r_lo+1)
+        cnt = jnp.sum(needi, axis=1, keepdims=True)
+        # compact the emitted words to dense front order, rotate them to
+        # the window phase, and mask-split over the (at most) two target
+        # rows r_lo and r_lo+1 - all log-depth
+        dense = _compact(w, need, lane)
+        p127 = p & 127
+        rs = _rot_right(dense, p127)
+        end = p127 + cnt
+        c0 = jnp.where((lane >= p127) & (lane < end), rs, 0)
+        c1 = jnp.where(lane < end - 128, rs, 0)
+        r_lo = p >> 7                      # (GROUPS, 1) scalar row per group
         for rr in range(PROWS):
             sel0 = (r_lo == rr).astype(jnp.int32)
             sel1 = (r_lo + 1 == rr).astype(jnp.int32)
             acc[:, rr, :] = acc[:, rr, :] + sel0 * c0 + sel1 * c1
-        p = p + jnp.sum(needi, axis=1, keepdims=True)
+        p = p + cnt
 
     # flush the window to HBM at each group's base row (overlapping
     # rewrites: the partial tail is rewritten complete by later steps)
