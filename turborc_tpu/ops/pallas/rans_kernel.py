@@ -21,10 +21,12 @@ Per nibble step:
 
 All arithmetic is int32 (freq*(state>>15) <= 32768*(2^16-1) < 2^31).
 
-ENCODE uses the same model math in a forward kernel plus a backward coding
-kernel with division as exact base-256 long division in f32 (the
-reference's reciprocal-multiplication DIVTDIV32, turborc_.h:163-196,
-plays the same role); emission compaction stays in XLA (cumsum+scatter).
+ENCODE: a forward model kernel (same CDF math), a backward coding kernel
+with division as exact base-256 long division in f32 (the reference's
+reciprocal-multiplication DIVTDIV32, turborc_.h:163-196, plays the same
+role), and a placement kernel that compacts per-slot emissions into the
+consumption-order streams via log-depth barrel compaction (see
+_place_kernel).
 """
 from __future__ import annotations
 
