@@ -6,7 +6,7 @@ reference's libsais/libdivsufsort dependency.  TPU stage: the BWT output
 `level`, mirroring rcbwt.c:83-94's level switch:
 
   level 0: store    3/4: rcrle    5/6: bitwise o1 (dual-speed)
-  7/8: adaptive-CDF rANS   (QLFC and bec stages arrive with those codecs)
+  7/8: adaptive-CDF rANS    9: rcmrr context-mixing (best ratio)
 
 Payload: u64 primary index + u8 stage id + stage payload.
 """
@@ -19,6 +19,28 @@ import numpy as np
 from turborc_tpu.codecs import rans_cdf_o0, rc_bit, rle
 from turborc_tpu.host import native
 
+def _rcmrr_api():
+    from turborc_tpu.codecs import rc_cm
+    return rc_cm.make_block_api("rcmrr")
+
+
+_RCMRR_ENC, _RCMRR_DEC = None, None
+
+
+def _rcmrr_enc(*a, **kw):
+    global _RCMRR_ENC, _RCMRR_DEC
+    if _RCMRR_ENC is None:
+        _RCMRR_ENC, _RCMRR_DEC = _rcmrr_api()
+    return _RCMRR_ENC(*a, **kw)
+
+
+def _rcmrr_dec(*a, **kw):
+    global _RCMRR_ENC, _RCMRR_DEC
+    if _RCMRR_ENC is None:
+        _RCMRR_ENC, _RCMRR_DEC = _rcmrr_api()
+    return _RCMRR_DEC(*a, **kw)
+
+
 _STAGES = {
     2: ("rle", rle.encode_block, rle.decode_block),
     3: ("rle", rle.encode_block, rle.decode_block),
@@ -27,9 +49,10 @@ _STAGES = {
     6: ("rc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode),
     7: ("rans-cdf", rans_cdf_o0.encode_block, rans_cdf_o0.decode_block),
     8: ("rans-cdf", rans_cdf_o0.encode_block, rans_cdf_o0.decode_block),
+    9: ("rcmrr", _rcmrr_enc, _rcmrr_dec),  # ref rcbwt.c:94 lev 9
 }
-_STAGE_IDS = {2: 2, 3: 2, 4: 2, 5: 5, 6: 5, 7: 7, 8: 7}
-_BY_STAGE_ID = {2: _STAGES[2], 5: _STAGES[5], 7: _STAGES[7]}
+_STAGE_IDS = {2: 2, 3: 2, 4: 2, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9}
+_BY_STAGE_ID = {2: _STAGES[2], 5: _STAGES[5], 7: _STAGES[7], 9: _STAGES[9]}
 
 
 def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
