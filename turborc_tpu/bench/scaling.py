@@ -47,15 +47,32 @@ def measure(n_mb: float = 4, max_devices: int | None = None,
             for i in range(B)])
         K = blocks.shape[2]
 
+        # timing methodology (see bench.py / cli.py): the backend caches
+        # identical executions, so (a) warm up each mesh size before the
+        # timed region (JIT compile excluded), (b) give every timed rep a
+        # distinct pre-staged input, (c) sync via a device->host transfer.
+        variants = [jnp.asarray((blocks + r) % 256) for r in range(reps)]
+        streams, lengths = pmesh.encode_blocks(variants[0], K,
+                                               C.encode_device, mesh)
+        np.asarray(lengths)[:1]  # sync warm-up
         t0 = time.perf_counter()
-        streams, lengths = pmesh.encode_blocks(blocks, K, C.encode_device,
-                                               mesh)
-        enc_s = time.perf_counter() - t0
+        for r in range(reps):
+            s_r, l_r = pmesh.encode_blocks(variants[r], K, C.encode_device,
+                                           mesh)
+            np.asarray(l_r)[:1]
+        enc_s = (time.perf_counter() - t0) / reps
+        enc_streams = [pmesh.encode_blocks(v, K, C.encode_device, mesh)[0]
+                       for v in variants]
+        out = pmesh.decode_blocks(enc_streams[0], K, C.decode_device, mesh)
+        np.asarray(out)[:1, :1, :1]  # sync warm-up
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = pmesh.decode_blocks(streams, K, C.decode_device, mesh)
+        for r in range(reps):
+            out = pmesh.decode_blocks(enc_streams[r], K, C.decode_device,
+                                      mesh)
+            np.asarray(out)[:1, :1, :1]
         dec_s = (time.perf_counter() - t0) / reps
-        ok = bool(np.array_equal(out, blocks))
+        ok = bool(np.array_equal(np.asarray(out),
+                                 np.asarray(variants[reps - 1])))
 
         dec_mbs = n_used / dec_s / 1e6
         if base is None:

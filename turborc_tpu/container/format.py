@@ -53,6 +53,8 @@ def write_header(codec_id: int, lanes: int, step_quant: int,
 
 
 def read_header(buf: bytes):
+    if len(buf) < _HDR.size + 4:
+        raise ValueError("corrupt container: truncated header")
     hdr = buf[:_HDR.size]
     (magic, version, codec_id, flags, log2_lanes, log2_step, prm0, prm1,
      ctx_bits, block_size, orig_len) = _HDR.unpack(hdr)
@@ -78,7 +80,11 @@ def iter_blocks(buf: bytes, off: int):
     """Yield (payload_bytes, stored, crc32) for each block."""
     n = len(buf)
     while off < n:
+        if off + _BHDR.size > n:
+            raise ValueError("corrupt container: truncated block header")
         comp_len, bflags, crc = _BHDR.unpack_from(buf, off)
         off += _BHDR.size
+        if off + comp_len > n:
+            raise ValueError("corrupt container: truncated block payload")
         yield buf[off:off + comp_len], bool(bflags & BLK_STORED), crc
         off += comp_len

@@ -84,11 +84,44 @@ def update(cdf: jnp.ndarray, low: jnp.ndarray) -> jnp.ndarray:
 
     cdf [...,16] int32, low [...] int32 broadcast over the entry axis.
     """
+    return update_rate(cdf, low, CDFRATE)
+
+
+def update_rate(cdf: jnp.ndarray, low: jnp.ndarray, rate: int) -> jnp.ndarray:
+    """`update` with an explicit adaptation rate (cdf_.h's CDFRATE knob).
+
+    Rates < 7 can push the top entries past TOTAL (the staircase target
+    tops out at 15*IC + MIXD = 32886 > 32767 and equilibrium is within
+    2^rate of it), so the repaired table is also clamped from above to
+    keep freq >= 1 for the top symbols.
+    """
     mask = cdf > low[..., None]
     crv = jnp.asarray(_CRV, cdf.dtype)
     tgt = crv - cdf + jnp.where(mask, MIXD, 0)
-    cdf = cdf + (tgt >> CDFRATE)
-    return _repair(cdf)
+    return clamp_top(_repair(cdf + (tgt >> rate)))
+
+
+def update_batch(cdf: jnp.ndarray, lows: list) -> jnp.ndarray:
+    """One model update absorbing k coded symbols at once (their cdf
+    values `lows`, pre-step table).  Sums the per-symbol staircase deltas
+    at the base rate: to first order in k*2^-CDFRATE this equals k
+    sequential updates, but costs one shift-add + k compares - the cheap
+    form for k states/lanes sharing one model with lag."""
+    crv = jnp.asarray(_CRV, cdf.dtype)
+    tgt = jnp.zeros_like(cdf)
+    for low in lows:
+        mask = cdf > low[..., None]
+        tgt = tgt + (crv - cdf + jnp.where(mask, MIXD, 0))
+    return clamp_top(_repair(cdf + (tgt >> CDFRATE)))
+
+
+def clamp_top(cdf: jnp.ndarray) -> jnp.ndarray:
+    """Upper strict-monotone clamp: cdf_i <= TOTAL-16+i, so freq >= 1 at
+    the top of the table.  Needed whenever the per-step movement exceeds
+    the single rate-7 update (batched updates, faster rates): the
+    staircase target's top is 15*IC + MIXD = 32886 > TOTAL."""
+    cap = jnp.asarray(np.arange(16, dtype=np.int32) + TOTAL - 16, cdf.dtype)
+    return jnp.minimum(cdf, cap)
 
 
 def search(cdf: jnp.ndarray, value: jnp.ndarray):

@@ -134,7 +134,8 @@ def _staircase(i):
     return jnp.full((GROUPS, GLANES), i << (RC_BITS - 4), jnp.int32)
 
 
-# Warm-start model init: all 4096 lanes start from the block's nibble
+# Warm-start model init: all LANES (GROUPS*128) lanes start from the
+# block's nibble
 # statistics instead of the uniform staircase.  With thousands of short
 # lanes the per-lane adaptation ramp is the dominant ratio cost; the
 # tables (16 + 16x16 cumulative u16) ride in the payload (544 bytes) and
@@ -607,7 +608,8 @@ def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
 def encode_tile(block: jnp.ndarray, K: int,
                 hi_tbl: jnp.ndarray | None = None,
                 lo_tbl: jnp.ndarray | None = None):
-    """block [LANES, K] int32 bytes -> (gstreams [8, R, 128], glens [8]).
+    """block [LANES, K] int32 bytes -> (gstreams [GROUPS, R, 128],
+    glens [GROUPS]).
 
     Model+coding passes are shared with the XLA codec; only the stitch
     differs (consumption order per 128-lane group instead of per lane).

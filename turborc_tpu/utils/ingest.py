@@ -33,10 +33,19 @@ def _days_from_civil(y, m, d):
     return era * 146097 + doe - 719468
 
 
+def _to_int(tok: bytes, scale: float) -> int:
+    """Numeric token -> int64.  Integer tokens parse exactly (no float64
+    round-trip: nanosecond timestamps exceed 2^53); float64 is used only
+    for fractional tokens or a non-unit scale."""
+    if scale == 1.0 and b"." not in tok:
+        return int(tok)
+    return int(round(float(tok) * scale))
+
+
 def parse_numbers(text: bytes, scale: float = 1.0) -> np.ndarray:
     """All numeric fields in the buffer, scaled and rounded to int64."""
-    vals = [float(m) for m in _NUM_RE.findall(text)]
-    return np.round(np.asarray(vals, np.float64) * scale).astype(np.int64)
+    vals = [_to_int(m, scale) for m in _NUM_RE.findall(text)]
+    return np.asarray(vals, np.int64)
 
 
 def parse_first_column(text: bytes, scale: float = 1.0) -> np.ndarray:
@@ -45,8 +54,8 @@ def parse_first_column(text: bytes, scale: float = 1.0) -> np.ndarray:
     for line in text.splitlines():
         m = _NUM_RE.search(line)
         if m:
-            vals.append(float(m.group(0)))
-    return np.round(np.asarray(vals, np.float64) * scale).astype(np.int64)
+            vals.append(_to_int(m.group(0), scale))
+    return np.asarray(vals, np.int64)
 
 
 def parse_timestamps(text: bytes) -> np.ndarray:
