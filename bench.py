@@ -4,9 +4,13 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Metric: single-chip DECODE throughput of the flagship adaptive-CDF rANS
-codec (reference counterpart: `turborc -e56`, 202.27 MB/s decode on
-enwik8bwt per BASELINE.md).  Extras report encode MB/s and compression
-ratio on the same corpus.
+codec (reference counterpart: `turborc -e56`).  vs_baseline uses the
+reference README number (202.27 MB/s on enwik8bwt, BASELINE.md id 56);
+vs_ref_same_machine uses the reference binary built and measured on THIS
+machine on THIS corpus (bench/_baseline/ref_textbwt64.json, via
+turborc_tpu/bench/baseline_ref.py).  Ratio is the real container payload
+(share-8 span models + per-group packed warm tables + remap, format v2)
+against the same file the reference binary was run on.
 
 Methodology notes: the tunneled device backend caches identical
 executions and its block_until_ready does not reliably block, so every
@@ -30,49 +34,65 @@ CORPUS_MB = 64
 REPS = 3
 
 
+def _same_machine_baseline():
+    """Reference-binary numbers measured on this machine/corpus (id 56)."""
+    import pathlib
+    p = (pathlib.Path(__file__).parent / "turborc_tpu" / "bench"
+         / "_baseline" / "ref_textbwt64.json")
+    try:
+        rows = json.loads(p.read_text())["rows"]
+        return next(r for r in rows if r["id"] == 56)
+    except Exception:
+        return None
+
+
 def _bench_pallas(data, n):
-    """Pallas-kernel codec on the real TPU chip."""
-    import jax
+    """Pallas-kernel codec on the real TPU chip (format v2)."""
     import jax.numpy as jnp
+    from turborc_tpu.codecs import blockio as bio
     from turborc_tpu.codecs import rans_pallas as P
     from turborc_tpu.ops.pallas import rans_kernel as K_
 
     K = P._K_for(n)
-    padded = np.zeros(P.LANES * K, np.uint8)
-    padded[:n] = data
-    base = padded.reshape(P.LANES, K).astype(np.int32)
-    blocks = [jnp.asarray((base + i) % 256) for i in range(REPS + 1)]
+    blocks, his, los = [], [], []
+    for i in range(REPS + 1):
+        d = ((data.astype(np.int32) + i) % 256).astype(np.uint8)
+        block, padded = P._shape_lanes(d, K)
+        _, (hq, lq) = bio.quantize_tables(*P._group_tables(padded))
+        hi_tbl, lo_tbl = P._cum_args(hq, lq)
+        blocks.append(jnp.asarray(block))
+        his.append(hi_tbl)
+        los.append(lo_tbl)
     _ = [np.asarray(b[0, :4]) for b in blocks]  # force upload
-    hi_f, lo_f = P.build_tables(data)
-    hi_tbl = jnp.asarray(P._cumulative(hi_f))
-    lo_tbl = jnp.asarray(P._cumulative(lo_f).reshape(256))
 
-    gs0, gl0 = K_.encode_tile_pallas(blocks[0], K, hi_tbl, lo_tbl)
+    gs0, gl0 = K_.encode_tile_pallas(blocks[0], K, his[0], los[0])
     _ = np.asarray(gl0)  # warm compile + sync
     t0 = time.perf_counter()
-    outs = [K_.encode_tile_pallas(blocks[i], K, hi_tbl, lo_tbl)
+    outs = [K_.encode_tile_pallas(blocks[i], K, his[i], los[i])
             for i in range(1, REPS + 1)]
     _ = [np.asarray(o[1]) for o in outs]  # sync
     enc_s = (time.perf_counter() - t0) / REPS
 
     streams = [gs0] + [o[0] for o in outs]
-    out = K_.decode_tile(streams[0], K, hi_tbl, lo_tbl)  # warm compile
+    out = K_.decode_tile(streams[0], K, his[0], los[0])  # warm compile
     _ = np.asarray(out[0, 0, :4])
     t0 = time.perf_counter()
-    decs = [K_.decode_tile(streams[i], K, hi_tbl, lo_tbl)
+    decs = [K_.decode_tile(streams[i], K, his[i], los[i])
             for i in range(1, REPS + 1)]
     _ = [np.asarray(d[0, 0, :4]) for d in decs]  # sync
     dec_s = (time.perf_counter() - t0) / REPS
 
     ok = bool(np.array_equal(
-        np.asarray(out).reshape(K, P.LANES).T, base))
-    comp_bytes = int(np.asarray(gl0).sum()) * 2 + 4 * K_.GROUPS
-    return enc_s, dec_s, comp_bytes, ok, P.LANES
+        np.asarray(out).reshape(K, P.LANES).T, np.asarray(blocks[0])))
+    # true container payload (remap + packed tables + streams)
+    payload = P.encode_block(data)
+    ok = ok and bool(np.array_equal(
+        P.decode_block(payload, n), data))
+    return enc_s, dec_s, len(payload), ok, P.LANES
 
 
 def _bench_xla(data, n):
     """Pure-XLA codec fallback (CPU or kernel-less platforms)."""
-    import jax
     import jax.numpy as jnp
     from turborc_tpu.codecs import rans_cdf_o0 as C
 
@@ -114,6 +134,16 @@ def main():
 
     dec_mbs = n / dec_s / 1e6
     enc_mbs = n / enc_s / 1e6
+    ref = _same_machine_baseline()
+    extras = {}
+    if ref:
+        extras = {
+            "vs_ref_same_machine": round(dec_mbs / ref["dec_mbs"], 4),
+            "ref_same_machine_dec_mbs": ref["dec_mbs"],
+            "ref_same_machine_ratio": ref["ratio"],
+            "ratio_vs_ref_same_corpus": round(
+                (comp_bytes / n) / ref["ratio"], 4),
+        }
     print(json.dumps({
         "metric": f"flagship rans-cdf decode MB/s (1 chip, "
                   f"{CORPUS_MB}MB bwt-text)",
@@ -122,11 +152,13 @@ def main():
         "vs_baseline": round(dec_mbs / BASELINE_DEC_MBS, 4),
         "encode_mbs": round(enc_mbs, 2),
         "encode_vs_baseline": round(enc_mbs / BASELINE_ENC_MBS, 4),
-        "ratio": round(comp_bytes / n, 4),
+        "ratio": round(comp_bytes / n, 5),
         "roundtrip_ok": ok,
         "lanes": lanes,
+        "share": int(os.environ.get("TRC_SHARE", "8")),
         "kernel": "pallas" if on_tpu else "xla",
         "device": str(jax.devices()[0]),
+        **extras,
     }))
 
 

@@ -1,0 +1,50 @@
+"""Full Pallas decode/encode kernel round-trip in interpret mode.
+
+The kernels' geometry is env-driven (TRC_GROUPS/TRC_CHUNK), so a
+subprocess with a tiny tile (GROUPS=2) makes the unrolled kernel bodies
+small enough to interpret on CPU.  This covers, off-hardware, what the
+round-1 suite could not: the decode kernel end-to-end (queue refill,
+window-slide DMA, cross-grid-step carry over multiple grid steps) and
+the full Pallas encode pipeline (model+coder+place kernels), both
+against the XLA twin and the original data.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import numpy as np
+import jax.numpy as jnp
+from turborc_tpu.ops.pallas import rans_kernel as K_
+from turborc_tpu.codecs import rans_pallas as RP
+
+assert K_.GROUPS == 2 and K_.CHUNK == 4 and K_.INTERPRET
+rng = np.random.default_rng(7)
+K = 3 * K_.CHUNK  # 3 grid steps: exercises carry + window slide + refill
+n = K_.LANES * K - 5
+# runny + skewed bytes (forces real renorm traffic and model adaptation)
+a = rng.choice(12, 2 * n, p=np.r_[0.4, np.full(11, 0.6 / 11)])
+data = (np.repeat(a, rng.integers(1, 4, a.size))[:n] + 97).astype(np.uint8)
+
+pay_xla = RP.encode_block(data, use_pallas_encoder=False)
+out = RP.decode_block(pay_xla, n)
+assert np.array_equal(out, data), "decode-kernel roundtrip vs XLA encoder"
+
+pay_pal = RP.encode_block(data, use_pallas_encoder=True)
+assert pay_pal == pay_xla, "pallas encode pipeline != XLA twin payload"
+print("interpret kernel roundtrip ok", len(pay_xla))
+"""
+
+
+@pytest.mark.parametrize("share", ["8", "1"])
+def test_decode_kernel_interpret_roundtrip(share):
+    env = dict(os.environ)
+    env.update(TRC_GROUPS="2", TRC_CHUNK="4", TRC_SHARE=share,
+               TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
+                       capture_output=True, text=True, timeout=1800,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, f"STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}"
+    assert "interpret kernel roundtrip ok" in r.stdout

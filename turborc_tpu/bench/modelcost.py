@@ -102,21 +102,110 @@ def _cost_device(block, K, hi0, lo0, variant):
                                cols)
         return jnp.sum(bits)
 
+    if variant == "runflag":
+        # binary match-prev flag (simple predictor, rate 5) + CDF16
+        # escape; CDF16 updated only on escapes
+        L0 = block.shape[0]
+
+        def step(carry, b):
+            cdf_hi, cdf_lo, prev, rl, p = carry
+            match = b == prev
+            ctx = jnp.minimum(rl, 3)
+            psel = jnp.take_along_axis(p, ctx[:, None], 1)[:, 0]
+            pm = psel.astype(jnp.float32) / 32768.0
+            bits = -jnp.log2(jnp.where(match, pm, 1.0 - pm))
+            upd = psel - ((psel - jnp.where(match, 1 << 15, 0)) >> 5) \
+                - jnp.where(match, 0, 0)
+            upd = psel + ((jnp.where(match, 1 << 15, 0) - psel) >> 5)
+            p = p.at[jnp.arange(L0), ctx].set(
+                jnp.clip(upd, 32, 32736))
+            hi, lo = b >> 4, b & 15
+            low_h, fr_h = cdf16.lookup(cdf_hi, hi)
+            sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
+            row = jnp.sum(cdf_lo * sel[:, :, None], axis=1)
+            low_l, fr_l = cdf16.lookup(row, lo)
+            bits += jnp.where(match, 0.0, _bits(fr_h) + _bits(fr_l))
+            esc = ~match
+            new_hi = cdf16.update(cdf_hi, low_h)
+            cdf_hi = jnp.where(esc[:, None], new_hi, cdf_hi)
+            new_row = cdf16.update(row, low_l)
+            cdf_lo = cdf_lo + jnp.where(
+                esc[:, None, None],
+                (new_row - row)[:, None, :] * sel[:, :, None], 0)
+            rl = jnp.where(match, jnp.minimum(rl + 1, 3), 0)
+            return (cdf_hi, cdf_lo, b, rl, p), jnp.sum(bits)
+
+        init = (hi0, lo0, jnp.zeros(L0, jnp.int32), jnp.zeros(L0, jnp.int32),
+                jnp.full((L0, 4), 1 << 14, jnp.int32))
+        _, bits = jax.lax.scan(step, init, cols)
+        return jnp.sum(bits)
+
+    rate = int(variant[4:]) if variant.startswith("rate") else cdf16.CDFRATE
+    ic = int(variant[2:]) if variant.startswith("ic") else cdf16.IC
+    crv = jnp.arange(16, dtype=jnp.int32) * ic
+
+    def upd(cdf, low):
+        mask = cdf > low[..., None]
+        tgt = crv - cdf + jnp.where(mask, cdf16.MIXD, 0)
+        return cdf16.clamp_top(cdf16._repair(cdf + (tgt >> rate)))
+
     def step(carry, b):
         cdf_hi, cdf_lo = carry
         hi, lo = b >> 4, b & 15
         low_h, fr_h = cdf16.lookup(cdf_hi, hi)
         bits = _bits(fr_h)
-        cdf_hi = cdf16.update(cdf_hi, low_h)
+        cdf_hi = upd(cdf_hi, low_h)
         sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
         row = jnp.sum(cdf_lo * sel[:, :, None], axis=1)
         low_l, fr_l = cdf16.lookup(row, lo)
         bits += _bits(fr_l)
-        new_row = cdf16.update(row, low_l)
+        new_row = upd(row, low_l)
         cdf_lo = cdf_lo + (new_row - row)[:, None, :] * sel[:, :, None]
         return (cdf_hi, cdf_lo), jnp.sum(bits)
 
     _, bits = jax.lax.scan(step, (hi0, lo0), cols)
+    return jnp.sum(bits)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "k", "sync"))
+def _cost_chunk(slab, K, k, hi0, lo0, sync):
+    """v3 kernel semantics: k lanes share a span; each applies its OWN
+    updates immediately; every `sync` steps the copies re-join as
+    start + sum of per-copy diffs (repair + clamp).  slab [M, K, k]."""
+    M = slab.shape[0]
+    cols = jnp.transpose(slab, (1, 0, 2))  # [K, M, k]
+    chunks = cols.reshape(K // sync, sync, M, k)
+
+    def one(cdf_hi, cdf_lo, b):
+        hi, lo = b >> 4, b & 15
+        low_h, fr_h = cdf16.lookup(cdf_hi, hi)
+        bits = jnp.sum(_bits(fr_h))
+        cdf_hi = cdf16.update(cdf_hi, low_h)
+        sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
+        row = jnp.sum(cdf_lo * sel[:, :, :, None], axis=2)
+        low_l, fr_l = cdf16.lookup(row, lo)
+        bits += jnp.sum(_bits(fr_l))
+        new_row = cdf16.update(row, low_l)
+        cdf_lo = cdf_lo + (new_row - row)[:, :, None, :] \
+            * sel[:, :, :, None]
+        return cdf_hi, cdf_lo, bits
+
+    def step(carry, bs):
+        cdf_hi, cdf_lo = carry   # [M, k, 16], [M, k, 16, 16]
+        start_hi, start_lo = cdf_hi, cdf_lo
+        bits = 0.0
+        for u in range(sync):
+            cdf_hi, cdf_lo, bt = one(cdf_hi, cdf_lo, bs[u])
+            bits += bt
+        cdf_hi = cdf16.clamp_top(cdf16._repair(
+            start_hi + (cdf_hi - start_hi).sum(axis=1, keepdims=True)))
+        cdf_lo = cdf16.clamp_top(cdf16._repair(
+            start_lo + (cdf_lo - start_lo).sum(axis=1, keepdims=True)))
+        return (cdf_hi, cdf_lo), bits
+
+    init = (jnp.broadcast_to(hi0[:, None], (M, k, 16)),
+            jnp.broadcast_to(lo0[:, None], (M, k, 16, 16)))
+    _, bits = jax.lax.scan(step, init, chunks)
     return jnp.sum(bits)
 
 
@@ -221,17 +310,20 @@ def _rank_remap(data):
 def measure(data: np.ndarray, variant: str) -> dict:
     n = data.shape[0]
     parts = variant.split("+")
-    lanes = 128 if variant == "seq" else LANES
-    if parts[0].startswith("share"):
+    lanes = 128 if parts[0].split(".")[0] == "seq" else LANES
+    if parts[0].startswith(("share", "chunk")):
+        chunked = parts[0].startswith("chunk")
         spec = parts[0][5:]
         batched = spec.endswith("b")
-        k = int(spec.rstrip("b"))
+        sync = int(spec.rstrip("b")) if chunked else 1
+        k = 8 if chunked else int(spec.rstrip("b"))
         overhead = 544 + 4 * LANES + 4 * 64
         if "rm" in parts:
             data = _rank_remap(data)
             overhead += 256
         M = LANES // k
-        block, KK = blockio.shape_block(data, M, 8 * k)
+        block, KK = blockio.shape_block(data, M, 8 * k * (sync if chunked
+                                                          else 1))
         K = KK // k
         slab = block.reshape(M, K, k)
         if "pg" in parts:
@@ -249,8 +341,12 @@ def measure(data: np.ndarray, variant: str) -> dict:
             overhead += 63 * 544
         else:
             hi0, lo0 = _warm(data, M)
-        bits = float(_cost_shared(jnp.asarray(slab), K, k, hi0, lo0,
-                                  batched))
+        if chunked:
+            bits = float(_cost_chunk(jnp.asarray(slab), K, k, hi0, lo0,
+                                     sync))
+        else:
+            bits = float(_cost_shared(jnp.asarray(slab), K, k, hi0, lo0,
+                                      batched))
         size = bits / 8 + overhead
         return {"variant": variant, "ideal_bytes": round(size),
                 "ratio": size / n, "model_bits_per_byte": bits / n,
@@ -258,7 +354,6 @@ def measure(data: np.ndarray, variant: str) -> dict:
     if "rm" in parts:
         data = _rank_remap(data)
         variant = parts[0]
-        lanes = 128 if variant == "seq" else LANES
     block, K = blockio.shape_block(data, lanes, 8)
     if variant == "pergroup":
         glanes = lanes // 64
@@ -279,7 +374,9 @@ def measure(data: np.ndarray, variant: str) -> dict:
     else:
         hi0, lo0 = _warm(data, lanes)
         table_bytes = 544
-    v = variant if variant in ("o1hi", "dual") else "o0"
+    inner = variant.split(".")[-1] if "." in variant else variant
+    v = inner if (inner in ("o1hi", "dual", "runflag")
+                  or inner.startswith(("rate", "ic"))) else "o0"
     bits = float(_cost_device(jnp.asarray(block), K, hi0, lo0, v))
     # container overhead: warm tables + per-lane state/length bookkeeping
     overhead = table_bytes + 4 * lanes + 4 * 64

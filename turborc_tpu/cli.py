@@ -30,28 +30,45 @@ def cmd_bench(args):
         data = data[:args.size]
     names = args.codecs.split(",") if args.codecs else registry.names()
     rows = []
+    records = []
     print(f"benchmarking {len(data):,} bytes on {_device_str()}")
     for name in names:
         cfg = _codec_cfg(args, codec=name)
-        # warm-up (jit compile) + verify
-        blob = compress(data, cfg)
-        ok = decompress(blob) == data.tobytes()
-        # timed reps use rotated copies: the tunneled device backend
-        # caches identical executions, so re-timing the same input
-        # measures nothing (see bench.py methodology note)
-        variants = [np.roll(data, r + 1) for r in range(args.reps)]
-        t0 = time.perf_counter()
-        blobs = [compress(v, cfg) for v in variants]
-        enc_s = (time.perf_counter() - t0) / args.reps
-        t0 = time.perf_counter()
-        for b in blobs:
-            decompress(b)
-        dec_s = (time.perf_counter() - t0) / args.reps
+        try:
+            # warm-up (jit compile) + verify
+            blob = compress(data, cfg)
+            ok = decompress(blob) == data.tobytes()
+            # timed reps use rotated copies: the tunneled device backend
+            # caches identical executions, so re-timing the same input
+            # measures nothing (see bench.py methodology note)
+            variants = [np.roll(data, r + 1) for r in range(args.reps)]
+            t0 = time.perf_counter()
+            blobs = [compress(v, cfg) for v in variants]
+            enc_s = (time.perf_counter() - t0) / args.reps
+            t0 = time.perf_counter()
+            for b in blobs:
+                decompress(b)
+            dec_s = (time.perf_counter() - t0) / args.reps
+        except Exception as e:  # keep the sweep going; record the failure
+            print(f"{'-':>12} {name:16s} ERROR {type(e).__name__}: {e}")
+            records.append(dict(codec=name, error=f"{type(e).__name__}: {e}"))
+            continue
         n = max(len(data), 1)
         rows.append((len(blob), name))
+        records.append(dict(
+            codec=name, codec_id=registry.get(name).codec_id,
+            csize=len(blob), ratio=round(len(blob) / n, 5),
+            enc_mbs=round(n / enc_s / 1e6, 2),
+            dec_mbs=round(n / dec_s / 1e6, 2), roundtrip_ok=bool(ok)))
         print(f"{len(blob):12,} {100.0*len(blob)/n:6.2f}% "
               f"{n/enc_s/1e6:8.2f} MB/s {n/dec_s/1e6:8.2f} MB/s "
               f"{name:16s} {'OK' if ok else 'FAIL'}")
+    if args.json:
+        import json as _json
+        with open(args.json, "w") as f:
+            _json.dump({"input": args.input, "bytes": len(data),
+                        "device": _device_str(), "reps": args.reps,
+                        "rows": records}, f, indent=1)
     print("\nBest methods by size:")
     for size, name in sorted(rows)[:5]:
         print(f"  {size:12,} {name}")
@@ -114,6 +131,7 @@ def main(argv=None):
     b.add_argument("-i", "--codecs", help="comma-separated codec names")
     b.add_argument("-n", "--size", type=int, help="truncate input")
     b.add_argument("-r", "--reps", type=int, default=1)
+    b.add_argument("--json", help="write results as JSON to this path")
     b.set_defaults(fn=cmd_bench)
 
     c = sub.add_parser("c", help="compress")

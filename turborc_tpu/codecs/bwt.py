@@ -41,6 +41,19 @@ def _rcmrr_dec(*a, **kw):
     return _RCMRR_DEC(*a, **kw)
 
 
+def _qlfc_api():
+    from turborc_tpu.codecs import qlfc
+    return qlfc.encode_block, qlfc.decode_block
+
+
+def _qlfc_enc(*a, **kw):
+    return _qlfc_api()[0](*a, **kw)
+
+
+def _qlfc_dec(*a, **kw):
+    return _qlfc_api()[1](*a, **kw)
+
+
 _STAGES = {
     2: ("rle", rle.encode_block, rle.decode_block),
     3: ("rle", rle.encode_block, rle.decode_block),
@@ -48,11 +61,12 @@ _STAGES = {
     5: ("rc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode),
     6: ("rc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode),
     7: ("rans-cdf", rans_cdf_o0.encode_block, rans_cdf_o0.decode_block),
-    8: ("rans-cdf", rans_cdf_o0.encode_block, rans_cdf_o0.decode_block),
+    8: ("qlfc", _qlfc_enc, _qlfc_dec),     # ref rcbwt.c:83-94 lev 7/8
     9: ("rcmrr", _rcmrr_enc, _rcmrr_dec),  # ref rcbwt.c:94 lev 9
 }
-_STAGE_IDS = {2: 2, 3: 2, 4: 2, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9}
-_BY_STAGE_ID = {2: _STAGES[2], 5: _STAGES[5], 7: _STAGES[7], 9: _STAGES[9]}
+_STAGE_IDS = {2: 2, 3: 2, 4: 2, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+_BY_STAGE_ID = {2: _STAGES[2], 5: _STAGES[5], 7: _STAGES[7],
+                8: _STAGES[8], 9: _STAGES[9]}
 
 
 def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,

@@ -1,0 +1,229 @@
+"""Adaptive-CDF rANS with span-shared models (share-k, order 0).
+
+Round-2 ratio design.  Round-1 measured the whole ratio gap vs the
+reference (28.46% vs ans 27.32% on identical 64 MB data) to be the
+per-lane model adaptation ramp: 8192 lanes x 8 KB each pay 8192 warm-up
+ramps, while the reference's sequential coder (anscdf.c:567-605) pays
+one.  Fix (bench/modelcost.py measurements):
+
+  * SHARE adjacent lanes share one adaptive model pair over a contiguous
+    SHARE*K-byte span, positions strided: lane j of the set decodes
+    bytes t*SHARE + j.  Each lane updates its own table copy immediately
+    with its own symbols; every SYNC steps the copies re-synchronize by
+    summing each copy's diff since the last sync (a log2(SHARE)
+    butterfly in the TPU kernel).  Cross-lane information lags by at
+    most SYNC bytes - measured lag cost ~0 up to share-64 - while the
+    adaptation ramp divides by SHARE.
+  * warm-start tables are per SEGMENT of the block (64 segments) instead
+    of global, shrinking the distance each model must travel.
+
+rANS state/stream layout is untouched - one state per lane, per-lane
+streams, same stitch (ops/rans.py).  Only the model wiring differs from
+rans_cdf_o0.  The Pallas flagship (codecs/rans_pallas.py) implements the
+identical semantics in-kernel; this module is its XLA twin and the
+reference-class standalone codec (registry id 58).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turborc_tpu.codecs import blockio
+from turborc_tpu.models import cdf16
+from turborc_tpu.ops import rans
+
+# lanes per shared model span (env knob shared with the Pallas kernels;
+# part of the payload format)
+SHARE = int(os.environ.get("TRC_SHARE", "8"))
+# byte steps between cross-lane table syncs; the Pallas kernels sync once
+# per grid step, so this follows the kernel CHUNK knob (format-relevant)
+SYNC = int(os.environ.get("TRC_CHUNK", "8"))
+N_SEG = 64     # warm-start table segments per block
+
+
+def _lo_row(cdf_lo, sel):
+    return jnp.sum(cdf_lo * sel[:, :, None], axis=1)
+
+
+def _lo_put(cdf_lo, sel, row_old, row_new):
+    return cdf_lo + (row_new - row_old)[:, None, :] * sel[:, :, None]
+
+
+def _sync(cdf, start):
+    """Re-synchronize SHARE table copies: start + sum of per-copy diffs.
+
+    cdf/start [..., L, W] with lane axis -3 or -2 grouped as
+    [M, SHARE]; summing diffs within each set applies every member's
+    updates to every copy (repair + clamp keep the result a valid CDF).
+    """
+    L = cdf.shape[0]
+    M = L // SHARE
+    tail = cdf.shape[1:]
+    d = (cdf - start).reshape(M, SHARE, *tail).sum(axis=1, keepdims=True)
+    new = start.reshape(M, SHARE, *tail) + d
+    new = cdf16.clamp_top(cdf16._repair(new))
+    return new.reshape(L, *tail)
+
+
+def _code_byte(cdf_hi, cdf_lo, b):
+    """One per-lane o0 nibble-pair step (immediate own update).
+    Returns (cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l)."""
+    hi, lo = b >> 4, b & 15
+    low_h, fr_h = cdf16.lookup(cdf_hi, hi)
+    cdf_hi = cdf16.update(cdf_hi, low_h)
+    sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
+    row = _lo_row(cdf_lo, sel)
+    low_l, fr_l = cdf16.lookup(row, lo)
+    cdf_lo = _lo_put(cdf_lo, sel, row, cdf16.update(row, low_l))
+    return cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l
+
+
+def _model_init(L, hi_tbl, lo_tbl):
+    """Per-lane model tables from per-segment warm starts (lane l is in
+    span l // SHARE; span s -> segment s * n_seg // (L // SHARE))."""
+    n_seg = hi_tbl.shape[0]
+    M = L // SHARE
+    seg = jnp.repeat((jnp.arange(M, dtype=jnp.int32) * n_seg) // M, SHARE)
+    return hi_tbl[seg], lo_tbl[seg]
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def encode_device(block: jnp.ndarray, K: int, hi_tbl, lo_tbl):
+    """block [M, K, SHARE] int32 bytes -> (streams [L, 2K+2], lengths)."""
+    M = block.shape[0]
+    L = M * SHARE
+    assert K % SYNC == 0
+    # [K, M, SHARE] -> [K, L] byte columns (lane l = m*SHARE + j)
+    cols = jnp.transpose(block, (1, 0, 2)).reshape(K, L)
+    chunks = cols.reshape(K // SYNC, SYNC, L)
+
+    def fwd(carry, bs):
+        cdf_hi, cdf_lo = carry
+        start_hi, start_lo = cdf_hi, cdf_lo
+        outs = []
+        for u in range(SYNC):
+            cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = _code_byte(
+                cdf_hi, cdf_lo, bs[u])
+            outs.append(jnp.stack([jnp.stack([low_h, fr_h]),
+                                   jnp.stack([low_l, fr_l])]))
+        if SHARE > 1:
+            cdf_hi = _sync(cdf_hi, start_hi)
+            cdf_lo = _sync(cdf_lo, start_lo)
+        return (cdf_hi, cdf_lo), jnp.stack(outs)
+
+    _, probs = jax.lax.scan(fwd, _model_init(L, hi_tbl, lo_tbl), chunks)
+    # [K//SYNC, SYNC, 2(sym), 2(low/freq), L] -> [2K, 2, L]
+    probs = probs.reshape(2 * K, 2, L)
+    words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
+    return rans.stitch(words, emit, state)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def decode_device(streams: jnp.ndarray, K: int, hi_tbl, lo_tbl):
+    """streams [L, 2K+2] -> block [M, K, SHARE] int32 bytes."""
+    L = streams.shape[0]
+    M = L // SHARE
+    assert K % SYNC == 0
+    state, pos = rans.dec_init(streams)
+
+    def dec(carry, _):
+        cdf_hi, cdf_lo, state, pos = carry
+        start_hi, start_lo = cdf_hi, cdf_lo
+        outs = []
+        for _u in range(SYNC):
+            value = (state & rans.MASK15).astype(jnp.int32)
+            hi, low_h, fr_h = cdf16.search(cdf_hi, value)
+            state = rans.dec_update(state, low_h, fr_h)
+            cdf_hi = cdf16.update(cdf_hi, low_h)
+            state, pos = rans.dec_renorm(state, streams, pos)
+
+            sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
+            row = _lo_row(cdf_lo, sel)
+            value = (state & rans.MASK15).astype(jnp.int32)
+            lo, low_l, fr_l = cdf16.search(row, value)
+            state = rans.dec_update(state, low_l, fr_l)
+            cdf_lo = _lo_put(cdf_lo, sel, row, cdf16.update(row, low_l))
+            state, pos = rans.dec_renorm(state, streams, pos)
+            outs.append((hi << 4) | lo)
+        if SHARE > 1:
+            cdf_hi = _sync(cdf_hi, start_hi)
+            cdf_lo = _sync(cdf_lo, start_lo)
+        return (cdf_hi, cdf_lo, state, pos), jnp.stack(outs)
+
+    cdf_hi, cdf_lo = _model_init(L, hi_tbl, lo_tbl)
+    _, bytes_t = jax.lax.scan(dec, (cdf_hi, cdf_lo, state, pos), None,
+                              length=K // SYNC)
+    # [K//SYNC, SYNC, L] -> [K, L] -> [M, K, SHARE]
+    return jnp.transpose(bytes_t.reshape(K, M, SHARE), (1, 0, 2))
+
+
+# ----------------------------------------------------------------------------
+# Host block API
+# ----------------------------------------------------------------------------
+
+def segment_tables(data: np.ndarray, n_seg: int):
+    """Per-segment warm-start nibble tables: ([n_seg,16], [n_seg,16,16])."""
+    n = data.shape[0]
+    his, los = [], []
+    for g in range(n_seg):
+        seg = data[g * n // n_seg:(g + 1) * n // n_seg]
+        if seg.size == 0:
+            seg = data
+        hi_f, lo_f = blockio.nibble_tables(seg)
+        his.append(hi_f)
+        los.append(lo_f)
+    return np.stack(his), np.stack(los)
+
+
+def shape_spans(data: np.ndarray, lanes: int, step_quant: int):
+    """Pad + reshape flat bytes into [M, K, SHARE] strided spans."""
+    M = lanes // SHARE
+    n = data.shape[0]
+    K = blockio.K_for(-(-n // SHARE), M, max(step_quant, SYNC))
+    padded = np.zeros(M * K * SHARE, np.uint8)
+    padded[:n] = data
+    return padded.reshape(M, K, SHARE).astype(np.int32), K
+
+
+def _n_seg(lanes: int) -> int:
+    return min(N_SEG, lanes // SHARE)
+
+
+def encode_block(data: np.ndarray, lanes: int = 8192,
+                 step_quant: int = 256, **_unused) -> bytes:
+    n_seg = _n_seg(lanes)
+    hi_f, lo_f = segment_tables(data, n_seg)
+    block, K = shape_spans(data, lanes, step_quant)
+    streams, lengths = encode_device(
+        jnp.asarray(block), K,
+        jnp.asarray(blockio.cumulative(hi_f)),
+        jnp.asarray(blockio.cumulative(lo_f)))
+    return (hi_f.astype("<u2").tobytes() + lo_f.astype("<u2").tobytes()
+            + blockio.pack(np.asarray(streams), np.asarray(lengths)))
+
+
+def decode_block(payload: bytes, n: int, lanes: int = 8192,
+                 step_quant: int = 256, **_unused) -> np.ndarray:
+    n_seg = _n_seg(lanes)
+    tbl = 2 * n_seg * (16 + 256)
+    if len(payload) < tbl:
+        raise ValueError("corrupt payload: truncated warm-start tables")
+    hi_f = np.frombuffer(payload[:n_seg * 32], "<u2").astype(
+        np.int64).reshape(n_seg, 16)
+    lo_f = np.frombuffer(payload[n_seg * 32:tbl], "<u2").astype(
+        np.int64).reshape(n_seg, 16, 16)
+    if (hi_f.sum(-1) != blockio.TOTAL).any() or \
+            (lo_f.sum(-1) != blockio.TOTAL).any():
+        raise ValueError("corrupt payload: bad warm-start tables")
+    M = lanes // SHARE
+    K = blockio.K_for(-(-n // SHARE), M, max(step_quant, SYNC))
+    streams = blockio.unpack(payload[tbl:], lanes, 2 * K + 2)
+    block = np.asarray(decode_device(
+        jnp.asarray(streams), K,
+        jnp.asarray(blockio.cumulative(hi_f)),
+        jnp.asarray(blockio.cumulative(lo_f))))
+    return block.astype(np.uint8).reshape(-1)[:n]

@@ -1,16 +1,21 @@
 """Flagship codec on the Pallas TPU kernels (format variant, id 57).
 
-Same model semantics as rans-cdf-o0 but a kernel-friendly stream layout:
-4096 lanes as 32 groups x 128; each group's words stored in consumption
-order (see ops/pallas/rans_kernel.py).  The reference similarly registers
-the SIMD build of the same codec under its own bench id (anscdf sse,
-id 57) - identical model, different interleave.
+Same model semantics as rans-cdf-s8 (share-SHARE span models, per-group
+warm-start) with a kernel-friendly stream layout: LANES lanes as GROUPS
+x 128; each group's words stored in consumption order (see
+ops/pallas/rans_kernel.py).  The reference similarly registers the SIMD
+build of the same codec under its own bench id (anscdf sse, id 57) -
+identical model, different interleave.
 
-Payload: [16] u16 hi CDF freqs + [256] u16 lo CDF freqs (warm-start
-model tables from the block's nibble statistics - with 4096 short lanes
-the per-lane adaptation ramp is the dominant ratio cost; cf. the
-reference's static cdfini, rccdf.c:50-68) + [GROUPS] u32 group word
-counts + concatenated group streams (u16).
+Format v2 (round 2): SHARE adjacent lanes share one adaptive model over
+a contiguous SHARE*K-byte span (lane j decodes bytes t*SHARE+j), and the
+warm-start tables are per GROUP (contiguous 128*K bytes), cutting the
+per-lane adaptation ramp that cost round 1 1.1pp of ratio on 64MB blocks.
+
+Payload: [256] u8 byte permutation (global frequency-rank remap, worth
+~0.04pp on text: skews the hi-nibble distribution) + packed warm tables
+(blockio.pack_codes: 8-bit log codes, per-group nibble deltas) +
+[GROUPS] u32 group word counts + concatenated group streams (u16).
 """
 from __future__ import annotations
 
@@ -22,12 +27,10 @@ from turborc_tpu.ops.pallas import rans_kernel as K_
 
 GROUPS = K_.GROUPS
 LANES = K_.LANES
+SHARE = K_.SHARE
 from turborc_tpu.codecs import blockio as _bio
 
 TOTAL = 1 << 15
-_TBL_BYTES = 2 * (16 + 256)
-build_tables = _bio.nibble_tables
-_cumulative = _bio.cumulative
 
 
 def _K_for(n: int) -> int:
@@ -35,36 +38,66 @@ def _K_for(n: int) -> int:
     return max(-(-K // K_.CHUNK) * K_.CHUNK, K_.CHUNK)
 
 
+def _group_tables(padded: np.ndarray):
+    """Per-group warm tables from each group's contiguous slice."""
+    per = padded.shape[0] // GROUPS
+    his, los = [], []
+    for g in range(GROUPS):
+        hi_f, lo_f = _bio.nibble_tables(padded[g * per:(g + 1) * per])
+        his.append(hi_f)
+        los.append(lo_f)
+    return np.stack(his), np.stack(los)  # [G,16], [G,16,16]
+
+
+def _cum_args(hi_f: np.ndarray, lo_f: np.ndarray):
+    """freq tables -> kernel args hi [16,G], lo [16,16,G] int32."""
+    hi = _bio.cumulative(hi_f).T.copy()                    # [16, G]
+    lo = np.transpose(_bio.cumulative(lo_f), (1, 2, 0)).copy()
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _shape_lanes(data: np.ndarray, K: int) -> np.ndarray:
+    """flat bytes -> [LANES, K] in kernel lane order (strided spans)."""
+    S = LANES // SHARE
+    padded = np.zeros(LANES * K, np.uint8)
+    padded[:data.shape[0]] = data
+    return (padded.reshape(S, K, SHARE).transpose(0, 2, 1)
+            .reshape(LANES, K).astype(np.int32)), padded
+
+
+def _rank_perm(data: np.ndarray) -> np.ndarray:
+    counts = np.bincount(data, minlength=256)
+    return np.argsort(-counts, kind="stable").astype(np.uint8)
+
+
 def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
                  **_unused) -> bytes:
     n = data.shape[0]
     K = _K_for(n)
-    hi_f, lo_f = build_tables(data)
-    hi_tbl = jnp.asarray(_cumulative(hi_f))
-    lo_tbl = jnp.asarray(_cumulative(lo_f).reshape(256))
-    padded = np.zeros(LANES * K, np.uint8)
-    padded[:n] = data
-    block = jnp.asarray(padded.reshape(LANES, K).astype(np.int32))
+    perm = _rank_perm(data) if n else np.arange(256, dtype=np.uint8)
+    inv = np.zeros(256, np.uint8)
+    inv[perm] = np.arange(256, dtype=np.uint8)
+    block, padded = _shape_lanes(inv[data], K)
+    codes, (hi_q, lo_q) = _bio.quantize_tables(*_group_tables(padded))
+    hi_tbl, lo_tbl = _cum_args(hi_q, lo_q)
     enc = K_.encode_tile_pallas if use_pallas_encoder else K_.encode_tile
-    gstreams, glens = enc(block, K, hi_tbl, lo_tbl)
+    gstreams, glens = enc(jnp.asarray(block), K, hi_tbl, lo_tbl)
     gstreams = np.asarray(gstreams).reshape(GROUPS, -1)
     glens = np.asarray(glens).astype(np.int64)
     keep = np.arange(gstreams.shape[1])[None, :] < glens[:, None]
     flat = gstreams[keep].astype(np.uint16)
-    return (hi_f.astype("<u2").tobytes() + lo_f.astype("<u2").tobytes()
+    return (perm.tobytes() + _bio.pack_codes(codes)
             + glens.astype("<u4").tobytes() + flat.astype("<u2").tobytes())
 
 
 def decode_block(payload: bytes, n: int, **_unused) -> np.ndarray:
     K = _K_for(n)
-    if len(payload) < _TBL_BYTES + 4 * GROUPS:
+    if len(payload) < 256 + 4 + 272:
         raise ValueError("corrupt payload: truncated header")
-    hi_f = np.frombuffer(payload[:32], "<u2").astype(np.int64)
-    lo_f = np.frombuffer(payload[32:_TBL_BYTES], "<u2").astype(
-        np.int64).reshape(16, 16)
-    if hi_f.sum() != TOTAL or (lo_f.sum(axis=-1) != TOTAL).any():
-        raise ValueError("corrupt payload: bad warm-start tables")
-    off = _TBL_BYTES
+    perm = np.frombuffer(payload[:256], np.uint8)
+    codes, consumed = _bio.unpack_codes(payload[256:], GROUPS)
+    hi_q, lo_q = _bio.codes_to_tables(codes)
+    off = 256 + consumed
     glens = np.frombuffer(payload[off:off + 4 * GROUPS], "<u4").astype(
         np.int64)
     flat = np.frombuffer(payload[off + 4 * GROUPS:len(payload) & ~1], "<u2")
@@ -75,9 +108,11 @@ def decode_block(payload: bytes, n: int, **_unused) -> np.ndarray:
     gstreams = np.zeros((GROUPS, R * 128), np.int32)
     keep = np.arange(R * 128)[None, :] < glens[:, None]
     gstreams[keep] = flat
+    hi_tbl, lo_tbl = _cum_args(hi_q, lo_q)
     out = K_.decode_tile(jnp.asarray(gstreams.reshape(GROUPS, R, 128)), K,
-                         jnp.asarray(_cumulative(hi_f)),
-                         jnp.asarray(_cumulative(lo_f).reshape(256)))
-    # out [K, GROUPS, 128] -> [LANES, K] -> flat
-    block = np.asarray(out).reshape(K, LANES).T
-    return block.astype(np.uint8).reshape(-1)[:n]
+                         hi_tbl, lo_tbl)
+    # out [K, GROUPS, 128] -> [LANES, K] -> un-stride spans -> unmap
+    lanes_k = np.asarray(out).reshape(K, LANES).T
+    S = LANES // SHARE
+    flat_bytes = lanes_k.reshape(S, SHARE, K).transpose(0, 2, 1).reshape(-1)
+    return perm[flat_bytes.astype(np.uint8)[:n]]

@@ -24,7 +24,19 @@ UNROLL = 8
 
 
 def _ctx_slots(order: int) -> int:
-    return 256 if order == 0 else 256 * 256
+    """Tree nodes per lane: 256 per byte context.  Order 2 holds the FULL
+    2^16 byte-pair contexts like the reference's heap table (rc_.c:348,
+    2^16 x 256 u16) - usable only at low lane counts (the block API
+    defaults rcc2 to 16 lanes: 16 x 16.7M x 4B = 1 GB HBM)."""
+    return 256 * (1 if order == 0 else 256 if order == 1 else 65536)
+
+
+def _ctx_next(order: int, ctx, b):
+    if order == 0:
+        return ctx
+    if order == 1:
+        return b
+    return (b << 8) | (ctx >> 8)  # (prev1 << 8) | prev2
 
 
 def _fwd_byte(pred, state, ctx, b):
@@ -69,7 +81,7 @@ def encode_device(block: jnp.ndarray, K: int, order: int = 0,
         for u in range(bs.shape[0]):
             b = bs[u]
             state, probs, bits = _fwd_byte(pred, state, ctx, b)
-            ctx = b if order else ctx
+            ctx = _ctx_next(order, ctx, b)
             ps.append(probs)
             bts.append(bits)
         return (state, ctx), (jnp.stack(ps), jnp.stack(bts))
@@ -98,7 +110,7 @@ def decode_device(streams: jnp.ndarray, K: int, order: int = 0,
         for _u in range(U):
             state, byte, ans_state, pos = _dec_byte(
                 pred, state, ctx, ans_state, streams, pos)
-            ctx = byte if order else ctx
+            ctx = _ctx_next(order, ctx, byte)
             outs.append(byte)
         return (state, ctx, ans_state, pos), jnp.stack(outs)
 
@@ -142,6 +154,18 @@ rc_ss_encode, rc_ss_decode = _make_block_api(0, "ss")
 rcc_ss_encode, rcc_ss_decode = _make_block_api(1, "ss")
 rc_sf_encode, rc_sf_decode = _make_block_api(0, "sf")
 rcc_sf_encode, rcc_sf_decode = _make_block_api(1, "sf")
+
+
+def rcc2_encode(data, lanes=16, **kw):
+    kw.pop("step_quant", None)
+    return _make_block_api(2, "s")[0](data, lanes=lanes, step_quant=256,
+                                      **kw)
+
+
+def rcc2_decode(payload, n, lanes=16, **kw):
+    kw.pop("step_quant", None)
+    return _make_block_api(2, "s")[1](payload, n, lanes=lanes,
+                                      step_quant=256, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,9 @@ RATES = {
 O2_HASH_BITS = 12
 
 
-def _o2_ctx(cx1, cx2):
+def _o2_ctx(cx1, cx2, full: bool):
+    if full:  # full 2^16 contexts (reference rc_.c:344-370 heap table)
+        return (cx1 << 8) | cx2
     h = (cx1 << 8) | cx2
     h = (h ^ (h >> 9)) * 0x9E5  # cheap 16->12 bit mix
     return (h >> 4) & ((1 << O2_HASH_BITS) - 1)
@@ -81,13 +83,13 @@ def _sse_init(L):
         L, 512 * 17)
 
 
-def _predict(tabs, y, cx1, cx2, run, cfg):
+def _predict(tabs, y, cx1, cx2, run, cfg, o2_full=False):
     mb0, mb1, mb2, sse = tabs
     w = cfg["w"]
     p0 = _gather(mb0, y)
     p1 = _gather(mb1, cx1 * 256 + y)
     if cfg["o2"]:
-        i2 = _o2_ctx(cx1, cx2) * 256 + y
+        i2 = _o2_ctx(cx1, cx2, o2_full) * 256 + y
         p2 = _gather(mb2, i2)
     elif w[2]:
         i2 = cx2 * 256 + y
@@ -117,8 +119,10 @@ def _update(tabs, y, cx1, aux, bit, cfg):
     return mb0, mb1, mb2, sse
 
 
-def _tabs_init(L, cfg):
-    n2 = (1 << O2_HASH_BITS) * 256 if cfg["o2"] else 1
+def _tabs_init(L, cfg, o2_full=False):
+    n2 = 1
+    if cfg["o2"]:
+        n2 = ((1 << 16) if o2_full else (1 << O2_HASH_BITS)) * 256
     return (jnp.full((L, 256), TOTAL // 2, jnp.int32),
             jnp.full((L, 256 * 256), TOTAL // 2, jnp.int32),
             jnp.full((L, n2), TOTAL // 2, jnp.int32),
@@ -133,8 +137,9 @@ def _run_ctx(run_mode, cx1, cx2, runlen):
     return jnp.where(runlen > 2, 256, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "variant"))
-def encode_device(block: jnp.ndarray, K: int, variant: str = "rcm"):
+@functools.partial(jax.jit, static_argnames=("K", "variant", "o2_full"))
+def encode_device(block: jnp.ndarray, K: int, variant: str = "rcm",
+                  o2_full: bool = False):
     cfg = RATES[variant]
     L = block.shape[0]
     cols = block.T
@@ -145,7 +150,7 @@ def encode_device(block: jnp.ndarray, K: int, variant: str = "rcm"):
         node = jnp.ones_like(b)
         probs, bits = [], []
         for i in range(7, -1, -1):
-            prob, aux = _predict(tabs, node, cx1, cx2, run, cfg)
+            prob, aux = _predict(tabs, node, cx1, cx2, run, cfg, o2_full)
             bit = (b >> i) & 1
             tabs = _update(tabs, node, cx1, aux, bit, cfg)
             probs.append(prob)
@@ -154,7 +159,7 @@ def encode_device(block: jnp.ndarray, K: int, variant: str = "rcm"):
         runlen = jnp.where(b == cx1, runlen + 1, 0)
         return (tabs, b, cx1, runlen), (jnp.stack(probs), jnp.stack(bits))
 
-    init = (_tabs_init(L, cfg),
+    init = (_tabs_init(L, cfg, o2_full),
             jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32),
             jnp.zeros((L,), jnp.int32))
     _, (probs, bits) = jax.lax.scan(fwd, init, cols)
@@ -164,8 +169,9 @@ def encode_device(block: jnp.ndarray, K: int, variant: str = "rcm"):
     return rans.stitch(words, emit, st)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "variant"))
-def decode_device(streams: jnp.ndarray, K: int, variant: str = "rcm"):
+@functools.partial(jax.jit, static_argnames=("K", "variant", "o2_full"))
+def decode_device(streams: jnp.ndarray, K: int, variant: str = "rcm",
+                  o2_full: bool = False):
     cfg = RATES[variant]
     L = streams.shape[0]
     state, pos = rans.dec_init(streams)
@@ -175,7 +181,7 @@ def decode_device(streams: jnp.ndarray, K: int, variant: str = "rcm"):
         run = _run_ctx(cfg["run_mode"], cx1, cx2, runlen)
         node = jnp.ones_like(cx1)
         for _i in range(8):
-            prob, aux = _predict(tabs, node, cx1, cx2, run, cfg)
+            prob, aux = _predict(tabs, node, cx1, cx2, run, cfg, o2_full)
             bit, state = binary.dec_bit(state, prob)
             tabs = _update(tabs, node, cx1, aux, bit, cfg)
             state, pos = rans.dec_renorm(state, streams, pos)
@@ -184,7 +190,7 @@ def decode_device(streams: jnp.ndarray, K: int, variant: str = "rcm"):
         runlen = jnp.where(b == cx1, runlen + 1, 0)
         return (tabs, b, cx1, runlen, state, pos), b
 
-    init = (_tabs_init(L, cfg),
+    init = (_tabs_init(L, cfg, o2_full),
             jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32),
             jnp.zeros((L,), jnp.int32), state, pos)
     _, bytes_t = jax.lax.scan(dec, init, None, length=K)
@@ -192,17 +198,22 @@ def decode_device(streams: jnp.ndarray, K: int, variant: str = "rcm"):
 
 
 def make_block_api(variant: str):
+    # rcm2 holds the reference's FULL 2^16 o2 contexts when the lane
+    # count keeps the table affordable (L x 16.7M x 4B; <= 16 lanes
+    # -> <= 1 GB HBM), else falls back to the hashed 12-bit context
     def encode_block(data: np.ndarray, lanes: int = 128,
                      step_quant: int = 256, **_unused) -> bytes:
         block, K = blockio.shape_block(data, lanes, step_quant)
-        streams, lengths = encode_device(jnp.asarray(block), K, variant)
+        streams, lengths = encode_device(jnp.asarray(block), K, variant,
+                                         o2_full=lanes <= 16)
         return blockio.pack(np.asarray(streams), np.asarray(lengths))
 
     def decode_block(payload: bytes, n: int, lanes: int = 128,
                      step_quant: int = 256, **_unused) -> np.ndarray:
         K = blockio.K_for(n, lanes, step_quant)
         streams = blockio.unpack(payload, lanes, 8 * K + 2)
-        block = np.asarray(decode_device(jnp.asarray(streams), K, variant))
+        block = np.asarray(decode_device(jnp.asarray(streams), K, variant,
+                                         o2_full=lanes <= 16))
         return block.astype(np.uint8).reshape(-1)[:n]
 
     return encode_block, decode_block

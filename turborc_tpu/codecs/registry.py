@@ -68,7 +68,11 @@ def _lazy_init():
         register(57, "rans-cdf-o0-p", rans_pallas.encode_block,
                  rans_pallas.decode_block,
                  "flagship on Pallas TPU kernels, group-interleaved streams")
-    from turborc_tpu.codecs import rans_cdf_o1
+    from turborc_tpu.codecs import rans_cdf_o1, rans_cdf_s8
+    register(58, "rans-cdf-s8", rans_cdf_s8.encode_block,
+             rans_cdf_s8.decode_block,
+             "adaptive CDF16 rANS with share-8 span models + segment "
+             "warm-start (round-2 ratio design; ref ans id 56 class)")
     register(64, "rans-cdf-o1", rans_cdf_o1.encode_block,
              rans_cdf_o1.decode_block,
              "adaptive CDF16 rANS, order 1 (ref anscdf1 id 64)")
@@ -130,6 +134,9 @@ def _lazy_init():
         register(base_id + 1, f"{name}z", zenc, zdec,
                  f"zigzag-delta + VLC/CDF16, {8*esize}-bit elements")
 
+    register(3, "rcc2", rc_bit.rcc2_encode, rc_bit.rcc2_decode,
+             "bitwise order-2, full 2^16 byte-pair contexts, low lane "
+             "count (ref rcc2 id 3, rc_.c:344-370)")
     register(4, "rcx", rc_bit.rcx_encode, rc_bit.rcx_decode,
              "sliding-context bitwise codec, ctx in bits (ref rcx ids 4-5)")
     register(6, "rc-16", rc_bit.rc16_encode, rc_bit.rc16_decode,
@@ -153,8 +160,12 @@ def _lazy_init():
     from turborc_tpu.codecs import bec
     register(19, "bec", bec.encode_block, bec.decode_block,
              "M99-style hierarchical bit EC, level-parallel (ref id 19)")
-    register(18, "rcqlfc", bwt.qlfc_encode, bwt.qlfc_decode,
-             "QLFC: MTF ranks + RLE/gamma entropy stage (ref id 18)")
+    from turborc_tpu.codecs import qlfc
+    register(18, "rcqlfc", qlfc.encode_block, qlfc.decode_block,
+             "QLFC: run-split MTF ranks + adaptive CDF16 rank stage + "
+             "VLC run lengths (ref rcqlfc_.c id 18)")
+    register(15, "rcqlfc-rle", bwt.qlfc_encode, bwt.qlfc_decode,
+             "MTF + RLE/gamma entropy stage (round-1 qlfc variant)")
 
 
 _lazy_init()

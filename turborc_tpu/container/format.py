@@ -36,7 +36,9 @@ import zlib
 import numpy as np
 
 MAGIC = 0x54435254
-VERSION = 1
+# v2: flagship family payloads switched to share-SHARE span models with
+# per-group warm-start tables (round 2); v1 blobs are not decodable.
+VERSION = 2
 _HDR = struct.Struct("<IBBBBBBBBIQ")
 _BHDR = struct.Struct("<IBI")
 

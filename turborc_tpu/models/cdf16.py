@@ -101,18 +101,26 @@ def update_rate(cdf: jnp.ndarray, low: jnp.ndarray, rate: int) -> jnp.ndarray:
     return clamp_top(_repair(cdf + (tgt >> rate)))
 
 
+def delta(cdf: jnp.ndarray, low: jnp.ndarray) -> jnp.ndarray:
+    """Single-symbol update delta: (staircase target - cdf) >> CDFRATE.
+    `update(cdf, low)` == repair(cdf + delta(cdf, low))."""
+    mask = cdf > low[..., None]
+    crv = jnp.asarray(_CRV, cdf.dtype)
+    return (crv - cdf + jnp.where(mask, MIXD, 0)) >> CDFRATE
+
+
 def update_batch(cdf: jnp.ndarray, lows: list) -> jnp.ndarray:
     """One model update absorbing k coded symbols at once (their cdf
-    values `lows`, pre-step table).  Sums the per-symbol staircase deltas
-    at the base rate: to first order in k*2^-CDFRATE this equals k
-    sequential updates, but costs one shift-add + k compares - the cheap
-    form for k states/lanes sharing one model with lag."""
-    crv = jnp.asarray(_CRV, cdf.dtype)
-    tgt = jnp.zeros_like(cdf)
+    values `lows`, all against the pre-step table).  Sums the per-symbol
+    shifted deltas: to first order in k*2^-CDFRATE this equals k
+    sequential updates, but the per-symbol deltas are independent - in
+    the TPU kernel k lanes each compute their own delta and a log2(k)
+    butterfly reduction applies them all, keeping the k table copies in
+    sync."""
+    d = jnp.zeros_like(cdf)
     for low in lows:
-        mask = cdf > low[..., None]
-        tgt = tgt + (crv - cdf + jnp.where(mask, MIXD, 0))
-    return clamp_top(_repair(cdf + (tgt >> CDFRATE)))
+        d = d + delta(cdf, low)
+    return clamp_top(_repair(cdf + d))
 
 
 def clamp_top(cdf: jnp.ndarray) -> jnp.ndarray:

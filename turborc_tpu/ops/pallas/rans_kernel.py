@@ -31,6 +31,7 @@ _place_kernel).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,12 +50,27 @@ MIXD = (TOTAL - 1) & ~31
 # dependency chains per nibble), so wider tiles are nearly free
 # throughput - 64 groups decodes ~1.5x faster than 32 at equal clock.
 # GROUPS is part of the stream format (per-group length table + streams);
-# CHUNK is kernel-internal.
-GROUPS = 64                  # sublane rows per tile op (8 vregs/op)
+# CHUNK is kernel-internal.  Env knobs allow geometry sweeps without
+# editing the module (values are baked into the payload format).
+GROUPS = int(os.environ.get("TRC_GROUPS", "64"))  # sublane rows per tile op
 GLANES = 128
-LANES = GROUPS * GLANES      # 8192 lanes per kernel tile
-CHUNK = 8                    # byte steps per grid step
+LANES = GROUPS * GLANES      # lanes per kernel tile (8192 at GROUPS=64)
+CHUNK = int(os.environ.get("TRC_CHUNK", "8"))  # byte steps per grid step
 WROWS = 2 * CHUNK + 8        # stream window rows per group
+
+# Model sharing (round-2 ratio design, see codecs/rans_cdf_s8.py): SHARE
+# adjacent lanes share one adaptive model pair over a contiguous
+# SHARE*K-byte span (lane j of a set decodes bytes t*SHARE + j).  All
+# SHARE symbols of a step are priced against the pre-step tables, then
+# the SHARE updates land as one batched update kept in sync across the
+# set by a log2(SHARE) butterfly reduction.  Cuts the per-lane
+# adaptation ramp - the whole round-1 ratio gap - by ~SHARE.
+SHARE = int(os.environ.get("TRC_SHARE", "8"))
+
+# Interpret mode (tests): runs every pallas_call op-by-op on CPU.  Only
+# practical at tiny geometry (TRC_GROUPS=2), which is how CI covers the
+# decode kernel's cross-grid-step carry off-hardware.
+INTERPRET = bool(int(os.environ.get("TRC_INTERPRET", "0")))
 
 
 def _treesum(parts):
@@ -108,14 +124,8 @@ def _cdf_search(cdf, value):
     return sym, low, nxt - low
 
 
-def _cdf_update(cdf, low):
-    """Staircase-mix + strict monotone repair (models/cdf16.py semantics)."""
-    new = []
-    for i in range(16):
-        mask = cdf[i] > low
-        tgt = i * IC - cdf[i] + jnp.where(mask, MIXD, 0)
-        new.append(cdf[i] + (tgt >> CDFRATE))
-    # strict monotone repair as a log-depth prefix max of (cdf_i - i)
+def _repair16(new):
+    """Strict monotone repair: log-depth prefix max of (cdf_i - i)."""
     d = [new[i] - i for i in range(16)]
     for s in (1, 2, 4, 8):
         d = [jnp.maximum(d[i], d[i - s]) if i >= s else d[i]
@@ -123,31 +133,74 @@ def _cdf_update(cdf, low):
     return [d[i] + i for i in range(16)]
 
 
-def _dec_nibble(state, cdf):
+def _clamp16(cdf):
+    """Upper strict-monotone clamp (cdf16.clamp_top): batched updates can
+    overshoot TOTAL at the top of the table."""
+    return [jnp.minimum(cdf[i], TOTAL - 16 + i) for i in range(16)]
+
+
+def _cdf_delta(cdf, low):
+    """Per-symbol shifted update delta (cdf16.delta), entry list form."""
+    return [((i * IC - cdf[i]
+              + jnp.where(cdf[i] > low, MIXD, 0)) >> CDFRATE)
+            for i in range(16)]
+
+
+def _cdf_update(cdf, low):
+    """Single-symbol staircase-mix update + repair (SHARE=1 path)."""
+    d = _cdf_delta(cdf, low)
+    return _repair16([cdf[i] + d[i] for i in range(16)])
+
+
+def _set_sum(x, lane):
+    """Butterfly sum within aligned SHARE-lane sets along the lane axis.
+
+    XOR-partner exchange: stage k pairs lane with lane^k; roll(x, k)[l]
+    = x[l-k] serves the (lane & k) half, roll(x, 128-k) the other.  Sets
+    are aligned so partners never cross set boundaries."""
+    for k in range(1, SHARE):
+        if k & (k - 1):
+            continue
+        px = jnp.where((lane & k) != 0, pltpu.roll(x, k, 1),
+                       pltpu.roll(x, GLANES - k, 1))
+        x = x + px
+    return x
+
+
+def _dec_search(state, cdf):
+    """Symbol search + state transition, NO model update (v2: updates are
+    batched at end of the byte step)."""
     value = state & (TOTAL - 1)
     sym, low, freq = _cdf_search(cdf, value)
     state = freq * (state >> RC_BITS) + value - low
-    return state, sym, _cdf_update(cdf, low)
+    return state, sym, low
 
 
-def _staircase(i):
-    return jnp.full((GROUPS, GLANES), i << (RC_BITS - 4), jnp.int32)
-
-
-# Warm-start model init: all LANES (GROUPS*128) lanes start from the
-# block's nibble
-# statistics instead of the uniform staircase.  With thousands of short
-# lanes the per-lane adaptation ramp is the dominant ratio cost; the
-# tables (16 + 16x16 cumulative u16) ride in the payload (544 bytes) and
-# both sides rebuild identical initial state.  (The reference's static
-# cdfini, rccdf.c:50-68, plays the same role for its static codecs.)
+# Warm-start model init: every lane starts from its GROUP's nibble
+# statistics (per-group cumulative tables ride in the payload and both
+# sides rebuild identical initial state; the reference's static cdfini,
+# rccdf.c:50-68, plays the same role for its static codecs).  The tables
+# arrive pre-broadcast as VMEM inputs [16, G, 128] / [16, 16, G, 128].
 
 def _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl):
     for i in range(16):
-        cdf_hi[i] = jnp.full((GROUPS, GLANES), hi_tbl[i], jnp.int32)
+        cdf_hi[i] = hi_tbl[i]
         for h in range(16):
-            cdf_lo[h, i] = jnp.full((GROUPS, GLANES), lo_tbl[h * 16 + i],
-                                    jnp.int32)
+            cdf_lo[h, i] = lo_tbl[h, i]
+
+
+def _broadcast_tables(hi_tbl, lo_tbl):
+    """[16, G] / [16, 16, G] int32 -> VMEM-shaped per-lane broadcasts."""
+    hi = jnp.broadcast_to(hi_tbl[:, :, None], (16, GROUPS, GLANES))
+    lo = jnp.broadcast_to(lo_tbl[:, :, :, None], (16, 16, GROUPS, GLANES))
+    return hi, lo
+
+
+def _default_tables():
+    stair = jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4)
+    hi = jnp.broadcast_to(stair[:, None], (16, GROUPS))
+    lo = jnp.broadcast_to(stair[None, :, None], (16, 16, GROUPS))
+    return hi, lo
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +273,7 @@ def _shift_pair_left(q0, q1, c, lane):
 # ---------------------------------------------------------------------------
 
 def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
-                   cdf_lo, queue, window, pword, vq, sem):
+                   cdf_lo, start_lo, queue, window, pword, vq, sem):
     """Queue-based decode: the next 256 unconsumed words of each group
     live in two register tiles (queue); the per-fetch word distribution
     is a 7-stage barrel gather (monotone rank distances) instead of a
@@ -288,22 +341,44 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
         vcnt = jnp.where(refill, vcnt + 128, vcnt)
         return state, q0, q1, vcnt, consumed
 
+    # snapshot for the end-of-step cross-lane sync (hi_t list is the
+    # register snapshot; lo needs a VMEM copy since cdf_lo mutates)
+    start_hi = hi_t
+    if SHARE > 1:
+        for h in range(16):
+            for i in range(16):
+                start_lo[h, i] = cdf_lo[h, i]
+
     for t in range(CHUNK):
-        # ---- hi nibble
-        state, hi, hi_t = _dec_nibble(state, hi_t)
+        # ---- hi nibble (own copy, immediate own update)
+        state, hi, low_h = _dec_search(state, hi_t)
         state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
+        hi_t = _cdf_update(hi_t, low_h)
 
         # ---- lo nibble: context-select the row, decode, write back
         row_t = [_treesum([jnp.where(hi == h, cdf_lo[h, i], 0)
                            for h in range(16)]) for i in range(16)]
-        state, lo, new_row = _dec_nibble(state, row_t)
+        state, lo, low_l = _dec_search(state, row_t)
+        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
+        new_row = _cdf_update(row_t, low_l)
         for h in range(16):
             hit = hi == h
             for i in range(16):
                 cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
-        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
 
         out_ref[t] = (hi << 4) | lo
+
+    # ---- cross-lane sync: copies re-join as start + sum of set diffs
+    if SHARE > 1:
+        d = [_set_sum(hi_t[i] - start_hi[i], lane) for i in range(16)]
+        hi_t = _clamp16(_repair16([start_hi[i] + d[i] for i in range(16)]))
+        for h in range(16):
+            dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
+                    for i in range(16)]
+            new_row = _clamp16(_repair16(
+                [start_lo[h, i] + dsum[i] for i in range(16)]))
+            for i in range(16):
+                cdf_lo[h, i] = new_row[i]
 
     # ---- persist carry state (pword = absolute consumed position)
     states[:, :] = state
@@ -324,20 +399,23 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
     """gstreams [GROUPS, R, GLANES] int32 (consumption-order + state rows,
     padded with >= WROWS extra rows) -> bytes [K, GROUPS, GLANES].
 
-    hi_tbl [16] / lo_tbl [256] int32: warm-start cumulative CDF tables
-    (defaults reproduce the uniform staircase)."""
+    hi_tbl [16, GROUPS] / lo_tbl [16, 16, GROUPS] int32: per-group
+    warm-start cumulative CDF tables (defaults: uniform staircase)."""
     assert K % CHUNK == 0
     if hi_tbl is None:
-        hi_tbl = jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4)
-    if lo_tbl is None:
-        lo_tbl = jnp.tile(jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4),
-                          16)
+        hi_tbl, lo_tbl = _default_tables()
+    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl)
     grid = K // CHUNK
     return pl.pallas_call(
         _decode_kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 +
-        [pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec((16, GROUPS, GLANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16, GROUPS, GLANES), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec((CHUNK, GROUPS, GLANES),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -346,6 +424,7 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
             pltpu.VMEM((GROUPS, GLANES), jnp.int32),          # states
             pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),      # cdf_hi
             pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),  # cdf_lo
+            pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),  # start_lo
             pltpu.VMEM((2, GROUPS, GLANES), jnp.int32),       # queue
             pltpu.VMEM((GROUPS, WROWS, GLANES), jnp.int32),   # window
             pltpu.SMEM((GROUPS,), jnp.int32),                 # pword
@@ -354,7 +433,8 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(hi_tbl, lo_tbl, gstreams)
+        interpret=INTERPRET,
+    )(hi_b, lo_b, gstreams)
 
 
 # ---------------------------------------------------------------------------
@@ -369,15 +449,24 @@ def _cdf_lookup(cdf, sym):
     return low, nxt - low
 
 
-def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo):
-    """Forward model pass: per-nibble (low<<16 | freq) for the whole tile."""
+def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo,
+                  start_lo):
+    """Forward model pass: per-nibble (low<<16 | freq) for the whole tile.
+    Mirrors _decode_kernel's update order exactly (immediate own updates
+    + end-of-grid-step cross-lane sync)."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
         _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
     hi_t = [cdf_hi[i] for i in range(16)]
+    start_hi = hi_t
+    if SHARE > 1:
+        for h in range(16):
+            for i in range(16):
+                start_lo[h, i] = cdf_lo[h, i]
     for t in range(CHUNK):
         b = block_ref[t]
         hi, lo = b >> 4, b & 15
@@ -393,6 +482,16 @@ def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo):
                 cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
         probs_ref[2 * t] = (low_h << 16) | fr_h
         probs_ref[2 * t + 1] = (low_l << 16) | fr_l
+    if SHARE > 1:
+        d = [_set_sum(hi_t[i] - start_hi[i], lane) for i in range(16)]
+        hi_t = _clamp16(_repair16([start_hi[i] + d[i] for i in range(16)]))
+        for h in range(16):
+            dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
+                    for i in range(16)]
+            new_row = _clamp16(_repair16(
+                [start_lo[h, i] + dsum[i] for i in range(16)]))
+            for i in range(16):
+                cdf_lo[h, i] = new_row[i]
     for i in range(16):
         cdf_hi[i] = hi_t[i]
 
@@ -451,15 +550,18 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
     """block [LANES, K] -> (gstreams, glens) via the Pallas passes."""
     assert K % CHUNK == 0
     if hi_tbl is None:
-        hi_tbl = jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4)
-    if lo_tbl is None:
-        lo_tbl = jnp.tile(jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4),
-                          16)
+        hi_tbl, lo_tbl = _default_tables()
+    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl)
     cols = block.T.reshape(K, GROUPS, GLANES)
     probs = pl.pallas_call(
         _model_kernel,
         grid=(K // CHUNK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 +
+        in_specs=[
+            pl.BlockSpec((16, GROUPS, GLANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16, GROUPS, GLANES), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] +
         [pl.BlockSpec((CHUNK, GROUPS, GLANES), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
@@ -469,10 +571,12 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
         scratch_shapes=[
             pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),
             pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),
+            pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),  # start_lo
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(hi_tbl, lo_tbl, cols)
+        interpret=INTERPRET,
+    )(hi_b, lo_b, cols)
 
     n = K // CHUNK
     words, emit, state = pl.pallas_call(
@@ -491,6 +595,7 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
         scratch_shapes=[pltpu.VMEM((GROUPS, GLANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
     )(probs)
     return place_tile(words, emit, state, K)
 
@@ -593,6 +698,7 @@ def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
     )(words, emit)
     out = out.at[:, 0, :].set((state >> 16).astype(jnp.int32))
     out = out.at[:, 1, :].set((state & 0xFFFF).astype(jnp.int32))
@@ -609,40 +715,36 @@ def encode_tile(block: jnp.ndarray, K: int,
                 hi_tbl: jnp.ndarray | None = None,
                 lo_tbl: jnp.ndarray | None = None):
     """block [LANES, K] int32 bytes -> (gstreams [GROUPS, R, 128],
-    glens [GROUPS]).
-
-    Model+coding passes are shared with the XLA codec; only the stitch
-    differs (consumption order per 128-lane group instead of per lane).
-    """
-    from turborc_tpu.codecs import rans_cdf_o0
+    glens [GROUPS]).  XLA twin of the Pallas passes (same share-SHARE
+    model semantics, via codecs/rans_cdf_s8); only the stitch differs
+    (consumption order per 128-lane group instead of per lane)."""
+    from turborc_tpu.codecs import rans_cdf_s8 as S8
     from turborc_tpu.ops import rans
 
     L = block.shape[0]
-    assert L == LANES
-    cols = block.T
+    assert L == LANES and S8.SHARE == SHARE and S8.SYNC == CHUNK
     if hi_tbl is None:
-        hi_tbl = jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4)
-    if lo_tbl is None:
-        lo_tbl = jnp.tile(jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4),
-                          16)
-    init_models = (jnp.broadcast_to(hi_tbl, (L, 16)),
-                   jnp.broadcast_to(lo_tbl.reshape(16, 16), (L, 16, 16)))
+        hi_tbl, lo_tbl = _default_tables()
+    # per-lane tables from the per-group args (lane l is in group l//128)
+    hi0 = jnp.repeat(hi_tbl.T, GLANES, axis=0)                 # [L, 16]
+    lo0 = jnp.repeat(jnp.transpose(lo_tbl, (2, 0, 1)), GLANES, axis=0)
+    chunks = block.T.reshape(K // CHUNK, CHUNK, L)
 
-    def fwd(carry, b):
+    def fwd(carry, bs):
         cdf_hi, cdf_lo = carry
-        from turborc_tpu.models import cdf16
-        hi, lo = b >> 4, b & 15
-        low_h, fr_h = cdf16.lookup(cdf_hi, hi)
-        cdf_hi = cdf16.update(cdf_hi, low_h)
-        sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
-        row = rans_cdf_o0._lo_row(cdf_lo, sel)
-        low_l, fr_l = cdf16.lookup(row, lo)
-        cdf_lo = rans_cdf_o0._lo_put(cdf_lo, sel, row,
-                                     cdf16.update(row, low_l))
-        return (cdf_hi, cdf_lo), (jnp.stack([jnp.stack([low_h, fr_h]),
-                                             jnp.stack([low_l, fr_l])]))
+        start_hi, start_lo = cdf_hi, cdf_lo
+        outs = []
+        for u in range(CHUNK):
+            cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = S8._code_byte(
+                cdf_hi, cdf_lo, bs[u])
+            outs.append(jnp.stack([jnp.stack([low_h, fr_h]),
+                                   jnp.stack([low_l, fr_l])]))
+        if SHARE > 1:
+            cdf_hi = S8._sync(cdf_hi, start_hi)
+            cdf_lo = S8._sync(cdf_lo, start_lo)
+        return (cdf_hi, cdf_lo), jnp.stack(outs)
 
-    _, probs = jax.lax.scan(fwd, init_models, cols)
+    _, probs = jax.lax.scan(fwd, (hi0, lo0), chunks)
     probs = probs.reshape(2 * K, 2, L)
     words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
     S = 2 * K
