@@ -74,12 +74,12 @@ def _bench_pallas(data, n):
     enc_s = (time.perf_counter() - t0) / REPS
 
     streams = [gs0] + [o[0] for o in outs]
-    out = K_.decode_tile(streams[0], K, his[0], los[0])  # warm compile
+    out, _fs = K_.decode_tile(streams[0], K, his[0], los[0])  # warm compile
     _ = np.asarray(out[0, 0, :4])
     t0 = time.perf_counter()
     decs = [K_.decode_tile(streams[i], K, his[i], los[i])
             for i in range(1, REPS + 1)]
-    _ = [np.asarray(d[0, 0, :4]) for d in decs]  # sync
+    _ = [np.asarray(d[0][0, 0, :4]) for d in decs]  # sync
     dec_s = (time.perf_counter() - t0) / REPS
 
     ok = bool(np.array_equal(
@@ -156,6 +156,7 @@ def main():
         "roundtrip_ok": ok,
         "lanes": lanes,
         "share": int(os.environ.get("TRC_SHARE", "8")),
+        "sync": int(os.environ.get("TRC_SYNC", "4")),
         "kernel": "pallas" if on_tpu else "xla",
         "device": str(jax.devices()[0]),
         **extras,

@@ -10,13 +10,15 @@ recursion sequentially with tuned range codes (bectab).
 TPU re-design: process LEVELS, not nodes.  Level l has 2^l segments whose
 constraints depend only on level l-1 - so every level is one vectorized
 step and the whole codec is log2(K)-depth with NO sequential scan, for
-both encode and decode (decode offsets are prefix sums of the known
-per-slot widths).  Codes are fixed-width ceil(log2 m) bits per slot
-(instead of the reference's phase-in bectab codes, whose data-dependent
-widths would serialize decode within a level; costs < ~0.1 bit per
-non-degenerate slot).
+both encode and decode.  Slots use PHASE-IN codes over their constraint
+interval m (matching the reference's bectab code widths): a naive
+phase-in would make decode offsets data-dependent WITHIN a level, so the
+layout splits each level into a fixed-width prefix stream ((b-1)-bit
+fields, offsets known from the m's alone) and a 1-bit extras stream
+indexed by a prefix-sum of the "long code" mask - both fully parallel.
 
-Bytes are coded as 8 bit-planes over the same hierarchy.
+Bytes are coded as 8 bit-planes over the same hierarchy; 16-bit symbols
+(the reference's bec16 for UTF-8 ids, bec_b.c:84-88) as 16 planes.
 """
 from __future__ import annotations
 
@@ -67,12 +69,26 @@ def _extract(words, offs, nbits):
     return (val & mask).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def encode_device(block: jnp.ndarray, K: int):
-    """block [L, K] bytes (K power of two) -> (words uint32, total_bits)."""
+def _phase_in_enc(v, m):
+    """Phase-in code fields for v in [0, m): ((prefix, b-1 bits),
+    (extra bit, 1 bit iff long code)).  b = ceil(log2 m); the first
+    T = 2^b - m values use the short (b-1)-bit code."""
+    b = _bitlen_ceil(m)
+    T = (jnp.int32(1) << b) - m
+    short = v < T
+    pre = jnp.where(short, v, (v + T) >> 1)
+    ext = jnp.where(short, 0, (v + T) & 1)
+    wpre = jnp.maximum(b - 1, 0)
+    wext = jnp.where(short | (b == 0), 0, 1)
+    return pre, wpre, ext, wext
+
+
+@functools.partial(jax.jit, static_argnames=("K", "planes"))
+def encode_device(block: jnp.ndarray, K: int, planes: int = 8):
+    """block [L, K] symbols (K power of two) -> (words u32, total_bits)."""
     L = block.shape[0]
-    planes = jnp.stack([(block >> b) & 1 for b in range(8)])  # [8, L, K]
-    bits = planes.reshape(8 * L, K)
+    pl = jnp.stack([(block >> b) & 1 for b in range(planes)])
+    bits = pl.reshape(planes * L, K)
     levels = K.bit_length() - 1
 
     # count pyramid: counts[l] has 2^l segments of size K >> l
@@ -81,29 +97,31 @@ def encode_device(block: jnp.ndarray, K: int):
     for _ in range(levels):
         c = c.reshape(c.shape[0], -1, 2).sum(-1)
         counts.append(c)
-    counts = counts[::-1]  # counts[0] = root totals [8L, 1]
+    counts = counts[::-1]  # counts[0] = root totals [planes*L, 1]
 
     vals, bitws = [], []
     # root: fixed width over [0, K]
     rootw = int(np.ceil(np.log2(K + 1)))
     vals.append(counts[0].reshape(-1))
-    bitws.append(jnp.full((8 * L,), rootw, jnp.int32))
+    bitws.append(jnp.full((planes * L,), rootw, jnp.int32))
     for l in range(levels):
-        t = counts[l]                      # [8L, 2^l] parent totals
+        t = counts[l]                      # [planes*L, 2^l] parent totals
         h = K >> (l + 1)                   # half size
         left = counts[l + 1][:, 0::2]
         lo = jnp.maximum(0, t - h)
         m = jnp.minimum(t, h) - lo + 1
-        vals.append((left - lo).reshape(-1))
-        bitws.append(_bitlen_ceil(m).reshape(-1))
+        pre, wpre, ext, wext = _phase_in_enc((left - lo).reshape(-1),
+                                             m.reshape(-1))
+        vals += [pre, ext]
+        bitws += [wpre, wext]
     return _pack(jnp.concatenate(vals), jnp.concatenate(bitws))
 
 
-@functools.partial(jax.jit, static_argnames=("K", "L"))
-def decode_device(words: jnp.ndarray, K: int, L: int):
+@functools.partial(jax.jit, static_argnames=("K", "L", "planes"))
+def decode_device(words: jnp.ndarray, K: int, L: int, planes: int = 8):
     levels = K.bit_length() - 1
     rootw = int(np.ceil(np.log2(K + 1)))
-    n = 8 * L
+    n = planes * L
     base = jnp.int32(0)
     offs = jnp.arange(n, dtype=jnp.int32) * rootw
     t = _extract(words, offs, jnp.full((n,), rootw, jnp.int32))
@@ -112,45 +130,76 @@ def decode_device(words: jnp.ndarray, K: int, L: int):
     for l in range(levels):
         h = K >> (l + 1)
         lo = jnp.maximum(0, t - h)
-        m = jnp.minimum(t, h) - lo + 1
-        nb = _bitlen_ceil(m).reshape(-1)
+        m = (jnp.minimum(t, h) - lo + 1).reshape(-1)
+        b = _bitlen_ceil(m)
+        T = (jnp.int32(1) << b) - m
+        wpre = jnp.maximum(b - 1, 0)
+        offs = base + jnp.cumsum(wpre) - wpre
+        p = _extract(words, offs, wpre)
+        base = base + jnp.sum(wpre)
+        need = (p >= T) & (b >= 1)
+        nb = need.astype(jnp.int32)
         offs = base + jnp.cumsum(nb) - nb
-        v = _extract(words, offs, nb)
+        e = _extract(words, offs, nb)
         base = base + jnp.sum(nb)
+        v = jnp.where(need, ((p << 1) | e) - T, p)
         left = v.reshape(t.shape) + lo
         right = t - left
         t = jnp.stack([left, right], axis=-1).reshape(n, -1)
-    planes = t.reshape(8, L, K)
-    return _treesum_planes(planes)
+    pls = t.reshape(planes, L, K)
+    return _treesum_planes(pls, planes)
 
 
-def _treesum_planes(planes):
-    out = planes[0]
-    for b in range(1, 8):
-        out = out | (planes[b] << b)
+def _treesum_planes(planes_arr, planes):
+    out = planes_arr[0]
+    for b in range(1, planes):
+        out = out | (planes_arr[b] << b)
     return out
 
 
-def encode_block(data: np.ndarray, lanes: int = 64, step_quant: int = 1024,
-                 **_unused) -> bytes:
-    # K must be a power of two
-    n = data.shape[0]
-    K = max(step_quant, 1 << int(np.ceil(np.log2(max(-(-n // lanes), 1)))))
-    padded = np.zeros(lanes * K, np.uint8)
-    padded[:n] = data
-    block = jnp.asarray(padded.reshape(lanes, K).astype(np.int32))
-    words, total = encode_device(block, K)
-    nw = (int(total) + 31) // 32
-    return int(total).to_bytes(8, "little") + \
-        np.asarray(words)[:nw].astype("<u4").tobytes()
+def _make_block_api(esize: int):
+    planes = 8 * esize
+
+    def encode_block(data: np.ndarray, lanes: int = 64,
+                     step_quant: int = 1024, **_unused) -> bytes:
+        # K must be a power of two
+        elems = data if esize == 1 else _to_u16(data)
+        n = elems.shape[0]
+        K = max(step_quant,
+                1 << int(np.ceil(np.log2(max(-(-n // lanes), 1)))))
+        padded = np.zeros(lanes * K, np.uint16 if esize == 2 else np.uint8)
+        padded[:n] = elems
+        block = jnp.asarray(padded.reshape(lanes, K).astype(np.int32))
+        words, total = encode_device(block, K, planes)
+        nw = (int(total) + 31) // 32
+        return int(total).to_bytes(8, "little") + \
+            np.asarray(words)[:nw].astype("<u4").tobytes()
+
+    def decode_block(payload: bytes, n: int, lanes: int = 64,
+                     step_quant: int = 1024, **_unused) -> np.ndarray:
+        n_elems = -(-n // esize)
+        K = max(step_quant,
+                1 << int(np.ceil(np.log2(max(-(-n_elems // lanes), 1)))))
+        total = int.from_bytes(payload[:8], "little")
+        words = np.zeros(((total + 31) // 32) + 2, np.uint32)
+        raw = np.frombuffer(payload[8:], "<u4")
+        words[:raw.shape[0]] = raw
+        block = np.asarray(decode_device(jnp.asarray(words), K, lanes,
+                                         planes))
+        flat = block.reshape(-1)[:n_elems]
+        if esize == 1:
+            return flat.astype(np.uint8)
+        return flat.astype("<u2").view(np.uint8)[:n]
+
+    return encode_block, decode_block
 
 
-def decode_block(payload: bytes, n: int, lanes: int = 64,
-                 step_quant: int = 1024, **_unused) -> np.ndarray:
-    K = max(step_quant, 1 << int(np.ceil(np.log2(max(-(-n // lanes), 1)))))
-    total = int.from_bytes(payload[:8], "little")
-    words = np.zeros(((total + 31) // 32) + 2, np.uint32)
-    raw = np.frombuffer(payload[8:], "<u4")
-    words[:raw.shape[0]] = raw
-    block = np.asarray(decode_device(jnp.asarray(words), K, lanes))
-    return block.astype(np.uint8).reshape(-1)[:n]
+def _to_u16(data: np.ndarray) -> np.ndarray:
+    pad = (-data.shape[0]) % 2
+    if pad:
+        data = np.concatenate([data, np.zeros(pad, np.uint8)])
+    return data.view("<u2")
+
+
+encode_block, decode_block = _make_block_api(1)
+encode_block16, decode_block16 = _make_block_api(2)

@@ -75,8 +75,27 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
                  **_unused) -> bytes:
     if data.shape[0] == 0:
         return struct.pack("<QBB", 0, 0, 0)
-    # UTF-8 remap, kept only when it shrinks the stream (rcbwt.c:43)
     flags, pre = 0, data
+    if use_utf8:
+        # wide-alphabet path (reference xbwt16, rcbwt.c:66-80): when the
+        # code-point alphabet outgrows the 1-byte id range, remap to u16
+        # rank ids and run the 16-bit BWT
+        r16 = native.utf8_remap16(pre)
+        if r16 is not None and r16[0] > 256 and \
+                2 * r16[2].shape[0] < data.shape[0] * 1.2:
+            nsym, table, ids = r16
+            bwt_ids, primary = native.bwt16(ids)
+            stage_id = _STAGE_IDS.get(level, 7)
+            _, enc, _ = _BY_STAGE_ID[stage_id]
+            body = bwt_ids.astype("<u2").view(np.uint8)
+            payload = enc(body, lanes=lanes, step_quant=step_quant,
+                          prm0=prm0, prm1=prm1)
+            if len(payload) >= body.shape[0]:
+                stage_id, payload = 0, body.tobytes()
+            head = struct.pack("<QBB", primary, stage_id, 4)
+            head += struct.pack("<QI", ids.shape[0], table.shape[0])
+            return head + table.tobytes() + payload
+    # UTF-8 remap, kept only when it shrinks the stream (rcbwt.c:43)
     if use_utf8:
         u = native.utf8_remap(pre)
         if u is not None and u.shape[0] < pre.shape[0]:
@@ -110,6 +129,21 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
     if n == 0:
         return np.zeros(0, np.uint8)
     off = 10
+    if flags & 4:  # wide-alphabet 16-bit BWT path
+        n_ids, tbl_len = struct.unpack_from("<QI", payload, off)
+        off += 12
+        table = np.frombuffer(payload[off:off + tbl_len], np.uint8)
+        off += tbl_len
+        body = payload[off:]
+        nb = 2 * n_ids
+        if stage_id == 0:
+            raw = np.frombuffer(body, np.uint8)[:nb]
+        else:
+            _, _, dec = _BY_STAGE_ID[stage_id]
+            raw = dec(body, nb, lanes=lanes, step_quant=step_quant,
+                      prm0=prm0, prm1=prm1)
+        ids = native.unbwt16(raw.view("<u2"), primary)
+        return native.utf8_unmap16(table, ids, n)
     utf8_len = n
     if flags & 2:
         (utf8_len,) = struct.unpack_from("<Q", payload, off)

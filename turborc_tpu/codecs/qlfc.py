@@ -28,10 +28,14 @@ import struct
 
 import numpy as np
 
-from turborc_tpu.codecs import rans_cdf_s8, rans_vlc
+from turborc_tpu.codecs import rans_cdf_o0, rans_cdf_s8, rans_vlc
 from turborc_tpu.host import native
 
 _RUN_ENC, _RUN_DEC = rans_vlc.make_block_api(4)
+
+# rank-stream stage: the share-span codec pays fixed warm-table overhead
+# and strides runs across lanes - a win at scale, a loss on small blocks
+_S8_MIN = 1 << 20
 
 
 def run_split(data: np.ndarray):
@@ -50,8 +54,10 @@ def encode_block(data: np.ndarray, lanes: int = 2048,
     heads, runlens = run_split(data)
     m = heads.shape[0]
     ranks = native.mtf(heads)
-    rank_pay = rans_cdf_s8.encode_block(ranks, lanes=lanes,
-                                        step_quant=step_quant)
+    big = m >= _S8_MIN
+    stage = rans_cdf_s8 if big else rans_cdf_o0
+    rank_pay = stage.encode_block(ranks, lanes=lanes,
+                                  step_quant=step_quant)
     # run lengths as (runlen - 1), little-endian u32 elements
     rl = (runlens - 1).astype("<u4").view(np.uint8)
     run_pay = _RUN_ENC(rl, lanes=lanes, step_quant=step_quant)
@@ -66,8 +72,9 @@ def decode_block(payload: bytes, n: int, lanes: int = 2048,
     if n == 0:
         return np.zeros(0, np.uint8)
     body = payload[12:]
-    ranks = rans_cdf_s8.decode_block(bytes(body[:rank_len]), m,
-                                     lanes=lanes, step_quant=step_quant)
+    stage = rans_cdf_s8 if m >= _S8_MIN else rans_cdf_o0
+    ranks = stage.decode_block(bytes(body[:rank_len]), m,
+                               lanes=lanes, step_quant=step_quant)
     rl = _RUN_DEC(bytes(body[rank_len:]), 4 * m, lanes=lanes,
                   step_quant=step_quant)
     runlens = rl.view("<u4").astype(np.int64) + 1

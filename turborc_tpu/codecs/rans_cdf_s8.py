@@ -39,9 +39,10 @@ from turborc_tpu.ops import rans
 # lanes per shared model span (env knob shared with the Pallas kernels;
 # part of the payload format)
 SHARE = int(os.environ.get("TRC_SHARE", "8"))
-# byte steps between cross-lane table syncs; the Pallas kernels sync once
-# per grid step, so this follows the kernel CHUNK knob (format-relevant)
-SYNC = int(os.environ.get("TRC_CHUNK", "8"))
+# byte steps between cross-lane table syncs (format-relevant, shared
+# with the Pallas kernels' TRC_SYNC knob; see rans_kernel.SYNC for the
+# measured cadence/ratio curve)
+SYNC = int(os.environ.get("TRC_SYNC", "4"))
 N_SEG = 64     # warm-start table segments per block
 
 
@@ -56,17 +57,20 @@ def _lo_put(cdf_lo, sel, row_old, row_new):
 def _sync(cdf, start):
     """Re-synchronize SHARE table copies: start + sum of per-copy diffs.
 
-    cdf/start [..., L, W] with lane axis -3 or -2 grouped as
-    [M, SHARE]; summing diffs within each set applies every member's
-    updates to every copy (repair + clamp keep the result a valid CDF).
+    cdf/start [L, ...] with lanes grouped as [M, SHARE]; summing diffs
+    within each set applies every member's updates to every copy.  The
+    result is repaired+clamped (a valid CDF) - the kernels do the same.
     """
     L = cdf.shape[0]
     M = L // SHARE
     tail = cdf.shape[1:]
     d = (cdf - start).reshape(M, SHARE, *tail).sum(axis=1, keepdims=True)
     new = start.reshape(M, SHARE, *tail) + d
+    # repair+clamp here is load-bearing: leaving rows unrepaired feeds
+    # the repair lift back into the next diff sum, a xSHARE positive
+    # feedback that balloons the tables
     new = cdf16.clamp_top(cdf16._repair(new))
-    return new.reshape(L, *tail)
+    return jnp.broadcast_to(new, (M, SHARE) + tail).reshape(L, *tail)
 
 
 def _code_byte(cdf_hi, cdf_lo, b):

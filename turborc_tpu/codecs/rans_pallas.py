@@ -65,6 +65,37 @@ def _shape_lanes(data: np.ndarray, K: int) -> np.ndarray:
             .reshape(LANES, K).astype(np.int32)), padded
 
 
+# State seeding: the first SEED_BYTES of the (remapped) block ride inside
+# the per-lane encoder initial states instead of being entropy-coded -
+# the decoder's FINAL states return them for free.  A state may start
+# anywhere in [2^15, 2^31), so each lane carries SEED_BITS = 30 payload
+# bits (state0 = 2^30 | seed); the 4 B/lane flush words store them at
+# zero marginal cost, reclaiming ~0.273 * 30 bits/lane of stream.
+SEED_BITS = 30
+SEED_BYTES = SEED_BITS * LANES // 8
+
+
+def _split_seed(data: np.ndarray):
+    s_len = min(data.shape[0], SEED_BYTES)
+    buf = np.zeros(SEED_BYTES, np.uint8)
+    buf[:s_len] = data[:s_len]
+    bits = np.unpackbits(buf).reshape(LANES, SEED_BITS)
+    pw = (1 << np.arange(SEED_BITS - 1, -1, -1)).astype(np.int64)
+    seeds = bits.astype(np.int64) @ pw                      # [LANES]
+    init = (jnp.asarray((seeds | (1 << SEED_BITS)).astype(np.int64))
+            .astype(jnp.uint32).astype(jnp.int32)).reshape(GROUPS, 128)
+    return init, data[s_len:], s_len
+
+
+def _join_seed(fstates: np.ndarray, s_len: int) -> np.ndarray:
+    seeds = fstates.reshape(-1).astype(np.int64) & 0xFFFFFFFF
+    if (seeds >> SEED_BITS != 1).any():
+        raise ValueError("corrupt payload: bad final coder states")
+    seeds &= (1 << SEED_BITS) - 1
+    bits = ((seeds[:, None] >> np.arange(SEED_BITS - 1, -1, -1)) & 1)
+    return np.packbits(bits.astype(np.uint8).reshape(-1))[:s_len]
+
+
 def _rank_perm(data: np.ndarray) -> np.ndarray:
     counts = np.bincount(data, minlength=256)
     return np.argsort(-counts, kind="stable").astype(np.uint8)
@@ -73,15 +104,17 @@ def _rank_perm(data: np.ndarray) -> np.ndarray:
 def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
                  **_unused) -> bytes:
     n = data.shape[0]
-    K = _K_for(n)
     perm = _rank_perm(data) if n else np.arange(256, dtype=np.uint8)
     inv = np.zeros(256, np.uint8)
     inv[perm] = np.arange(256, dtype=np.uint8)
-    block, padded = _shape_lanes(inv[data], K)
+    init_states, span_data, _ = _split_seed(inv[data])
+    K = _K_for(span_data.shape[0])
+    block, padded = _shape_lanes(span_data, K)
     codes, (hi_q, lo_q) = _bio.quantize_tables(*_group_tables(padded))
     hi_tbl, lo_tbl = _cum_args(hi_q, lo_q)
     enc = K_.encode_tile_pallas if use_pallas_encoder else K_.encode_tile
-    gstreams, glens = enc(jnp.asarray(block), K, hi_tbl, lo_tbl)
+    gstreams, glens = enc(jnp.asarray(block), K, hi_tbl, lo_tbl,
+                          init_states)
     gstreams = np.asarray(gstreams).reshape(GROUPS, -1)
     glens = np.asarray(glens).astype(np.int64)
     keep = np.arange(gstreams.shape[1])[None, :] < glens[:, None]
@@ -91,7 +124,8 @@ def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
 
 
 def decode_block(payload: bytes, n: int, **_unused) -> np.ndarray:
-    K = _K_for(n)
+    s_len = min(n, SEED_BYTES)
+    K = _K_for(n - s_len)
     if len(payload) < 256 + 4 + 272:
         raise ValueError("corrupt payload: truncated header")
     perm = np.frombuffer(payload[:256], np.uint8)
@@ -109,10 +143,14 @@ def decode_block(payload: bytes, n: int, **_unused) -> np.ndarray:
     keep = np.arange(R * 128)[None, :] < glens[:, None]
     gstreams[keep] = flat
     hi_tbl, lo_tbl = _cum_args(hi_q, lo_q)
-    out = K_.decode_tile(jnp.asarray(gstreams.reshape(GROUPS, R, 128)), K,
-                         hi_tbl, lo_tbl)
+    out, fstates = K_.decode_tile(
+        jnp.asarray(gstreams.reshape(GROUPS, R, 128)), K, hi_tbl, lo_tbl)
+    # seeds ride in the decoder's final states (2^30 | 30 bits/lane)
+    seed_bytes = _join_seed(np.asarray(fstates), s_len)
     # out [K, GROUPS, 128] -> [LANES, K] -> un-stride spans -> unmap
     lanes_k = np.asarray(out).reshape(K, LANES).T
     S = LANES // SHARE
     flat_bytes = lanes_k.reshape(S, SHARE, K).transpose(0, 2, 1).reshape(-1)
-    return perm[flat_bytes.astype(np.uint8)[:n]]
+    full = np.concatenate([seed_bytes,
+                           flat_bytes.astype(np.uint8)[:n - s_len]])
+    return perm[full]

@@ -45,19 +45,23 @@ def _bitlen_u32(v: jnp.ndarray, width: int) -> jnp.ndarray:
     return acc
 
 
-def _split(x: jnp.ndarray, W: int):
-    """x [L] uint32 -> (s exponent, mant uint32, m mantissa bits)."""
-    s = _bitlen_u32(x >> 3, max(W - 3, 1))
-    m = jnp.where(s == 0, 3, s + 2)
+def _split(x: jnp.ndarray, W: int, vb: int = 3):
+    """x [L] uint32 -> (s exponent, mant uint32, m mantissa bits).
+
+    vb is the VLC base (reference vlcbit.h VN6-VN16 parameterization):
+    values below 2^vb get exponent 0 with a vb-bit mantissa; otherwise
+    s = bitlen(x >> vb) and the mantissa has s+vb-1 bits."""
+    s = _bitlen_u32(x >> vb, max(W - vb, 1))
+    m = jnp.where(s == 0, vb, s + vb - 1)
     base = jnp.where(s == 0, jnp.uint32(0),
-                     jnp.left_shift(jnp.uint32(8),
+                     jnp.left_shift(jnp.uint32(1 << vb),
                                     jnp.maximum(s - 1, 0).astype(jnp.uint32)))
     return s, x - base, m
 
 
-def _join(s: jnp.ndarray, mant: jnp.ndarray):
+def _join(s: jnp.ndarray, mant: jnp.ndarray, vb: int = 3):
     base = jnp.where(s == 0, jnp.uint32(0),
-                     jnp.left_shift(jnp.uint32(8),
+                     jnp.left_shift(jnp.uint32(1 << vb),
                                     jnp.maximum(s - 1, 0).astype(jnp.uint32)))
     return base + mant
 
@@ -84,15 +88,15 @@ def _slots_per_elem(W: int) -> int:
     return 2 if W <= 16 else 5
 
 
-@functools.partial(jax.jit, static_argnames=("K", "W"))
-def encode_device(block: jnp.ndarray, K: int, W: int):
+@functools.partial(jax.jit, static_argnames=("K", "W", "vb"))
+def encode_device(block: jnp.ndarray, K: int, W: int, vb: int = 3):
     """block [L, K] uint32 elements -> (streams, lengths)."""
     L = block.shape[0]
     cols = block.T  # [K, L]
     two_stage = W > 16
 
     def fwd(carry, x):
-        s, mant, m = _split(x, W)
+        s, mant, m = _split(x, W, vb)
         lows, freqs = [], []
         if two_stage:
             cdf_hi, cdf_lo = carry
@@ -134,8 +138,8 @@ def encode_device(block: jnp.ndarray, K: int, W: int):
     return rans.stitch(words, emit, st)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "W"))
-def decode_device(streams: jnp.ndarray, K: int, W: int):
+@functools.partial(jax.jit, static_argnames=("K", "W", "vb"))
+def decode_device(streams: jnp.ndarray, K: int, W: int, vb: int = 3):
     L = streams.shape[0]
     state, pos = rans.dec_init(streams)
     two_stage = W > 16
@@ -170,12 +174,12 @@ def decode_device(streams: jnp.ndarray, K: int, W: int):
             cdf, state, pos = carry
             s, low_s, state, pos = read_cdf(cdf, state, pos)
             cdf = cdf16.update(cdf, low_s)
-        m = jnp.where(s == 0, 3, s + 2)
+        m = jnp.where(s == 0, vb, s + vb - 1)
         mant = jnp.zeros((L,), jnp.uint32)
         for n in _chunk_lens(m, W):
             chunk, state, pos = read_dbits(n, state, pos)
             mant = (mant << n.astype(jnp.uint32)) | chunk
-        x = _join(s, mant)
+        x = _join(s, mant, vb)
         carry = (cdf_hi, cdf_lo, state, pos) if two_stage \
             else (cdf, state, pos)
         return carry, x
@@ -207,14 +211,15 @@ def _shape_u(elems: np.ndarray, lanes: int, step_quant: int):
     return padded.reshape(lanes, K), K
 
 
-def make_block_api(esize: int):
-    """(encode_block, decode_block) for VLC elements of `esize` bytes."""
+def make_block_api(esize: int, vb: int = 3):
+    """(encode_block, decode_block) for VLC elements of `esize` bytes.
+    vb selects the VLC base (reference VN6-VN16 sweep)."""
     W = 8 * esize
 
     def encode_block(data: np.ndarray, lanes: int = 512,
                      step_quant: int = 64, **_unused) -> bytes:
         block, K = _shape_u(_to_elems_u(data, esize), lanes, step_quant)
-        streams, lengths = encode_device(jnp.asarray(block), K, W)
+        streams, lengths = encode_device(jnp.asarray(block), K, W, vb)
         return blockio.pack(np.asarray(streams), np.asarray(lengths))
 
     def decode_block(payload: bytes, n: int, lanes: int = 512,
@@ -223,7 +228,7 @@ def make_block_api(esize: int):
         K = blockio.K_for(n_elems, lanes, step_quant)
         M = _slots_per_elem(W) * K + 2
         streams = blockio.unpack(payload, lanes, M)
-        vals = np.asarray(decode_device(jnp.asarray(streams), K, W))
+        vals = np.asarray(decode_device(jnp.asarray(streams), K, W, vb))
         flat = vals.reshape(-1)[:n_elems]
         if esize == 1:
             return flat.astype(np.uint8)[:n]

@@ -169,14 +169,15 @@ def rcc2_decode(payload, n, lanes=16, **kw):
 
 
 # ---------------------------------------------------------------------------
-# 16-bit symbol codec (reference rc 16-bit, rc_.c:62-79): one 16-level
-# binary tree per lane (node index 1..65535), MSB-first.
+# W-bit symbol codecs (reference mb_o0.h n-bit tree models, mbnenc
+# mb_o0.h:44-88, and the 16-bit rc of rc_.c:62-79): one W-level binary
+# tree per lane (node index 1..2^W-1), MSB-first.  W in 2..16.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("K", "pred_name", "prm0",
+@functools.partial(jax.jit, static_argnames=("K", "W", "pred_name", "prm0",
                                               "prm1"))
-def encode16_device(block: jnp.ndarray, K: int, pred_name: str = "s",
-                    prm0: int = 5, prm1: int = 8):
+def encoden_device(block: jnp.ndarray, K: int, W: int = 16,
+                   pred_name: str = "s", prm0: int = 5, prm1: int = 8):
     L = block.shape[0]
     pred = bitpred.make(pred_name, prm0, prm1)
 
@@ -184,7 +185,7 @@ def encode16_device(block: jnp.ndarray, K: int, pred_name: str = "s",
         state = carry
         node = jnp.ones_like(v)
         probs, bits = [], []
-        for i in range(15, -1, -1):
+        for i in range(W - 1, -1, -1):
             p = binary.clamp_p(pred.predict(state, node))
             bit = (v >> i) & 1
             state = pred.update(state, node, p, bit.astype(jnp.bool_))
@@ -193,17 +194,17 @@ def encode16_device(block: jnp.ndarray, K: int, pred_name: str = "s",
             node = (node << 1) | bit
         return state, (jnp.stack(probs), jnp.stack(bits))
 
-    _, (probs, bits) = jax.lax.scan(fwd, pred.init(L, 1 << 16), block.T)
+    _, (probs, bits) = jax.lax.scan(fwd, pred.init(L, 1 << W), block.T)
     lows, freqs = binary.to_low_freq(
-        probs.reshape(16 * K, L), bits.reshape(16 * K, L).astype(jnp.bool_))
+        probs.reshape(W * K, L), bits.reshape(W * K, L).astype(jnp.bool_))
     words, emit, st = rans.encode_backward(lows, freqs)
     return rans.stitch(words, emit, st)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "pred_name", "prm0",
+@functools.partial(jax.jit, static_argnames=("K", "W", "pred_name", "prm0",
                                               "prm1"))
-def decode16_device(streams: jnp.ndarray, K: int, pred_name: str = "s",
-                    prm0: int = 5, prm1: int = 8):
+def decoden_device(streams: jnp.ndarray, K: int, W: int = 16,
+                   pred_name: str = "s", prm0: int = 5, prm1: int = 8):
     L = streams.shape[0]
     pred = bitpred.make(pred_name, prm0, prm1)
     ans_state, pos = rans.dec_init(streams)
@@ -211,15 +212,15 @@ def decode16_device(streams: jnp.ndarray, K: int, pred_name: str = "s",
     def dec(carry, _):
         state, ans_state, pos = carry
         node = jnp.ones((L,), jnp.int32)
-        for _i in range(16):
+        for _i in range(W):
             p = binary.clamp_p(pred.predict(state, node))
             bit, ans_state = binary.dec_bit(ans_state, p)
             state = pred.update(state, node, p, bit)
             ans_state, pos = rans.dec_renorm(ans_state, streams, pos)
             node = (node << 1) | bit.astype(jnp.int32)
-        return (state, ans_state, pos), node & 0xFFFF
+        return (state, ans_state, pos), node & ((1 << W) - 1)
 
-    _, vals = jax.lax.scan(dec, (pred.init(L, 1 << 16), ans_state, pos),
+    _, vals = jax.lax.scan(dec, (pred.init(L, 1 << W), ans_state, pos),
                            None, length=K)
     return vals.T
 
@@ -232,8 +233,8 @@ def rc16_encode(data: np.ndarray, lanes: int = 512, step_quant: int = 64,
         data = np.concatenate([data, np.zeros(pad, np.uint8)])
     elems = data.view("<u2").astype(np.int32)
     block, K = blockio.shape_block_elems(elems, lanes, step_quant)
-    streams, lengths = encode16_device(jnp.asarray(block), K, "s", prm0,
-                                       prm1)
+    streams, lengths = encoden_device(jnp.asarray(block), K, 16, "s", prm0,
+                                      prm1)
     return blockio.pack(np.asarray(streams), np.asarray(lengths))
 
 
@@ -244,9 +245,152 @@ def rc16_decode(payload: bytes, n: int, lanes: int = 512,
     n_elems = -(-n // 2)
     K = blockio.K_for(n_elems, lanes, step_quant)
     streams = blockio.unpack(payload, lanes, 16 * K + 2)
-    vals = np.asarray(decode16_device(jnp.asarray(streams), K, "s", prm0,
-                                      prm1))
+    vals = np.asarray(decoden_device(jnp.asarray(streams), K, 16, "s", prm0,
+                                     prm1))
     return vals.reshape(-1)[:n_elems].astype("<u2").view(np.uint8)[:n]
+
+
+def make_nbit_block_api(W: int):
+    """W-bit element codec over bytes each < 2^W (reference mb_o0.h
+    sub-byte models as a standalone codec; W in 2..8)."""
+    from turborc_tpu.codecs import blockio
+
+    def encode_block(data: np.ndarray, lanes: int = 512,
+                     step_quant: int = 64, prm0: int = 5, prm1: int = 8,
+                     **_unused) -> bytes:
+        if data.size and int(data.max()) >= (1 << W):
+            raise ValueError(f"rc{W}b input exceeds {W}-bit alphabet")
+        block, K = blockio.shape_block_elems(data.astype(np.int32), lanes,
+                                             step_quant)
+        streams, lengths = encoden_device(jnp.asarray(block), K, W, "s",
+                                          prm0, prm1)
+        return blockio.pack(np.asarray(streams), np.asarray(lengths))
+
+    def decode_block(payload: bytes, n: int, lanes: int = 512,
+                     step_quant: int = 64, prm0: int = 5, prm1: int = 8,
+                     **_unused) -> np.ndarray:
+        K = blockio.K_for(n, lanes, step_quant)
+        streams = blockio.unpack(payload, lanes, W * K + 2)
+        vals = np.asarray(decoden_device(jnp.asarray(streams), K, W, "s",
+                                         prm0, prm1))
+        return vals.reshape(-1)[:n].astype(np.uint8)
+
+    return encode_block, decode_block
+
+
+# ---------------------------------------------------------------------------
+# 32-bit bitwise coder (reference rc 32-bit o7bs, rc_.c:98-340): a 32-bit
+# int as hi16 tree + lo16 tree keyed by a bitlen(hi) bucket (the
+# reference's sliding bit-context plays the same role).
+# ---------------------------------------------------------------------------
+
+_RC32_BUCKETS = 5  # ceil(bitlen(hi)/4) in 0..4
+
+
+@functools.partial(jax.jit, static_argnames=("K", "prm0", "prm1"))
+def encode32_device(block: jnp.ndarray, K: int, prm0: int = 5,
+                    prm1: int = 8):
+    L = block.shape[0]
+    pred = bitpred.make("s", prm0, prm1)
+
+    def fwd(carry, v):
+        shi, slo = carry
+        hi = (v >> 16) & 0xFFFF
+        lo = v & 0xFFFF
+        probs, bits = [], []
+        node = jnp.ones_like(v)
+        for i in range(15, -1, -1):
+            p = binary.clamp_p(pred.predict(shi, node))
+            bit = (hi >> i) & 1
+            shi = pred.update(shi, node, p, bit.astype(jnp.bool_))
+            probs.append(p)
+            bits.append(bit)
+            node = (node << 1) | bit
+        bl = jnp.zeros_like(v)
+        for i in range(16):
+            bl = bl + (hi >= (1 << i)).astype(jnp.int32)
+        bucket = (bl + 3) >> 2
+        node = jnp.ones_like(v)
+        for i in range(15, -1, -1):
+            idx = bucket * 65536 + node
+            p = binary.clamp_p(pred.predict(slo, idx))
+            bit = (lo >> i) & 1
+            slo = pred.update(slo, idx, p, bit.astype(jnp.bool_))
+            probs.append(p)
+            bits.append(bit)
+            node = (node << 1) | bit
+        return (shi, slo), (jnp.stack(probs), jnp.stack(bits))
+
+    init = (pred.init(L, 1 << 16), pred.init(L, _RC32_BUCKETS << 16))
+    _, (probs, bits) = jax.lax.scan(fwd, init, block.T)
+    lows, freqs = binary.to_low_freq(
+        probs.reshape(32 * K, L), bits.reshape(32 * K, L).astype(jnp.bool_))
+    words, emit, st = rans.encode_backward(lows, freqs)
+    return rans.stitch(words, emit, st)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "prm0", "prm1"))
+def decode32_device(streams: jnp.ndarray, K: int, prm0: int = 5,
+                    prm1: int = 8):
+    L = streams.shape[0]
+    pred = bitpred.make("s", prm0, prm1)
+    ans_state, pos = rans.dec_init(streams)
+
+    def dec(carry, _):
+        shi, slo, ans_state, pos = carry
+        node = jnp.ones((L,), jnp.int32)
+        for _i in range(16):
+            p = binary.clamp_p(pred.predict(shi, node))
+            bit, ans_state = binary.dec_bit(ans_state, p)
+            shi = pred.update(shi, node, p, bit)
+            ans_state, pos = rans.dec_renorm(ans_state, streams, pos)
+            node = (node << 1) | bit.astype(jnp.int32)
+        hi = node & 0xFFFF
+        bl = jnp.zeros_like(hi)
+        for i in range(16):
+            bl = bl + (hi >= (1 << i)).astype(jnp.int32)
+        bucket = (bl + 3) >> 2
+        node = jnp.ones((L,), jnp.int32)
+        for _i in range(16):
+            idx = bucket * 65536 + node
+            p = binary.clamp_p(pred.predict(slo, idx))
+            bit, ans_state = binary.dec_bit(ans_state, p)
+            slo = pred.update(slo, idx, p, bit)
+            ans_state, pos = rans.dec_renorm(ans_state, streams, pos)
+            node = (node << 1) | bit.astype(jnp.int32)
+        lo = node & 0xFFFF
+        v = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+        return (shi, slo, ans_state, pos), v
+
+    init = (pred.init(L, 1 << 16), pred.init(L, _RC32_BUCKETS << 16),
+            ans_state, pos)
+    _, vals = jax.lax.scan(dec, init, None, length=K)
+    return vals.T
+
+
+def rc32_encode(data: np.ndarray, lanes: int = 128, step_quant: int = 64,
+                prm0: int = 5, prm1: int = 8, **_unused) -> bytes:
+    from turborc_tpu.codecs import blockio
+    pad = (-data.shape[0]) % 4
+    if pad:
+        data = np.concatenate([data, np.zeros(pad, np.uint8)])
+    elems = data.view("<u4").astype(np.uint32)
+    block, K = blockio.shape_block_elems(elems, lanes, step_quant,
+                                         dtype=np.uint32)
+    streams, lengths = encode32_device(jnp.asarray(block.view(np.int32)),
+                                       K, prm0, prm1)
+    return blockio.pack(np.asarray(streams), np.asarray(lengths))
+
+
+def rc32_decode(payload: bytes, n: int, lanes: int = 128,
+                step_quant: int = 64, prm0: int = 5, prm1: int = 8,
+                **_unused) -> np.ndarray:
+    from turborc_tpu.codecs import blockio
+    n_elems = -(-n // 4)
+    K = blockio.K_for(n_elems, lanes, step_quant)
+    streams = blockio.unpack(payload, lanes, 32 * K + 2)
+    vals = np.asarray(decode32_device(jnp.asarray(streams), K, prm0, prm1))
+    return vals.reshape(-1)[:n_elems].astype("<u4").view(np.uint8)[:n]
 
 
 # ---------------------------------------------------------------------------

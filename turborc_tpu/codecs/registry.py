@@ -133,6 +133,11 @@ def _lazy_init():
                                     _tf.zigzag_dec, esize)
         register(base_id + 1, f"{name}z", zenc, zdec,
                  f"zigzag-delta + VLC/CDF16, {8*esize}-bit elements")
+    for vb, vid in ((1, 54), (5, 55)):
+        enc, dec = rans_vlc.make_block_api(2, vb=vb)
+        register(vid, f"rans-v16-b{vb}", enc, dec,
+                 f"VLC base 2^{vb} over CDF16 (ref vlcbit.h VN base "
+                 "sweep, VN6-VN16)")
 
     register(3, "rcc2", rc_bit.rcc2_encode, rc_bit.rcc2_decode,
              "bitwise order-2, full 2^16 byte-pair contexts, low lane "
@@ -142,6 +147,13 @@ def _lazy_init():
     register(6, "rc-16", rc_bit.rc16_encode, rc_bit.rc16_decode,
              "bitwise order-0 over 16-bit symbols, 16-level tree "
              "(ref rc 16-bit, rc_.c:62-79)")
+    register(7, "rc-32", rc_bit.rc32_encode, rc_bit.rc32_decode,
+             "bitwise order-0 over 32-bit symbols: hi16 tree + lo16 tree "
+             "keyed by bitlen(hi) bucket (ref rc 32-bit, rc_.c:98-340)")
+    for w in (2, 3, 5, 6, 7):
+        enc, dec = rc_bit.make_nbit_block_api(w)
+        register(140 + w, f"rc{w}b", enc, dec,
+                 f"bitwise {w}-bit symbol tree model (ref mb_o0.h:44-88)")
     register(66, "ansb", rc_bit.rc_s_encode, rc_bit.rc_s_decode,
              "bitwise ANS: o0 tree model over lane-parallel binary rANS "
              "(ref ansbc/ansbd id 66, anscdf.c:673-731; same design point "
@@ -159,7 +171,10 @@ def _lazy_init():
         register(cid, variant, enc, dec, desc)
     from turborc_tpu.codecs import bec
     register(19, "bec", bec.encode_block, bec.decode_block,
-             "M99-style hierarchical bit EC, level-parallel (ref id 19)")
+             "M99-style hierarchical bit EC, level-parallel, phase-in "
+             "codes (ref id 19)")
+    register(119, "bec-16", bec.encode_block16, bec.decode_block16,
+             "bec over 16-bit symbols (ref bec16, bec_b.c:84-88)")
     from turborc_tpu.codecs import qlfc
     register(18, "rcqlfc", qlfc.encode_block, qlfc.decode_block,
              "QLFC: run-split MTF ranks + adaptive CDF16 rank stage + "

@@ -54,6 +54,40 @@ def suffix_array(data: np.ndarray) -> np.ndarray:
     return sa
 
 
+def _bwt16_bind():
+    lib = load()
+    if not hasattr(lib.trc_bwt16, "_bound"):
+        lib.trc_bwt16.restype = ctypes.c_int64
+        lib.trc_bwt16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int64]
+        lib.trc_unbwt16.restype = ctypes.c_int
+        lib.trc_unbwt16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64, ctypes.c_int64]
+        lib.trc_bwt16._bound = True
+    return lib
+
+
+def bwt16(elems: np.ndarray):
+    """BWT over 16-bit symbols (reference xbwt16 for UTF-8 2-byte ids)."""
+    elems = np.ascontiguousarray(elems, np.uint16)
+    out = np.empty_like(elems)
+    p = _bwt16_bind().trc_bwt16(elems.ctypes.data, out.ctypes.data,
+                                elems.shape[0])
+    if p < 0:
+        raise ValueError("bwt16 failed (input too large?)")
+    return out, int(p)
+
+
+def unbwt16(elems: np.ndarray, primary: int) -> np.ndarray:
+    elems = np.ascontiguousarray(elems, np.uint16)
+    out = np.empty_like(elems)
+    rc = _bwt16_bind().trc_unbwt16(elems.ctypes.data, out.ctypes.data,
+                                   elems.shape[0], primary)
+    if rc != 0:
+        raise ValueError("unbwt16 failed: corrupt input or bad primary")
+    return out
+
+
 def mtf(data: np.ndarray) -> np.ndarray:
     """Move-to-front rank transform (QLFC host stage)."""
     data = np.ascontiguousarray(data, np.uint8)
@@ -113,6 +147,63 @@ def utf8_unmap(data: np.ndarray, orig_len: int) -> np.ndarray:
                                   out.ctypes.data, orig_len)
     if r != orig_len:
         raise ValueError("utf8 decode failed: corrupt stream")
+    return out
+
+
+def _utf816_bind():
+    lib = load()
+    if not hasattr(lib.trc_utf8_enc16, "_bound"):
+        for f in (lib.trc_utf8_enc16, lib.trc_utf8_dec16):
+            f.restype = ctypes.c_int64
+            f.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                          ctypes.c_int64]
+            f._bound = True
+    return lib
+
+
+def _split_varints(buf: np.ndarray):
+    """Parse varint(#syms) ++ #syms varints; return offset past them."""
+    off = 0
+
+    def rd():
+        nonlocal off
+        v, sh = 0, 0
+        while True:
+            b = int(buf[off]); off += 1
+            v |= (b & 0x7F) << sh
+            if not (b & 0x80):
+                return v
+            sh += 7
+
+    nsym = rd()
+    for _ in range(nsym):
+        rd()
+    return nsym, off
+
+
+def utf8_remap16(data: np.ndarray):
+    """UTF-8 -> u16 rank ids (reference xbwt16 input).
+
+    Returns (n_syms, table_bytes, ids uint16) or None if not UTF-8."""
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty(4 * data.shape[0] + 64, np.uint8)
+    r = _utf816_bind().trc_utf8_enc16(data.ctypes.data, data.shape[0],
+                                      out.ctypes.data, out.shape[0])
+    if r < 0:
+        return None
+    stream = out[:r]
+    nsym, off = _split_varints(stream)
+    return nsym, stream[:off].copy(), stream[off:].copy().view("<u2")
+
+
+def utf8_unmap16(table: np.ndarray, ids: np.ndarray, orig_len: int
+                 ) -> np.ndarray:
+    stream = np.concatenate([table, ids.astype("<u2").view(np.uint8)])
+    out = np.empty(orig_len, np.uint8)
+    r = _utf816_bind().trc_utf8_dec16(stream.ctypes.data, stream.shape[0],
+                                      out.ctypes.data, orig_len)
+    if r != orig_len:
+        raise ValueError("utf8-16 decode failed: corrupt stream")
     return out
 
 

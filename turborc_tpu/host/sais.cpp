@@ -184,4 +184,48 @@ int trc_unbwt(const uint8_t* in, uint8_t* out, int64_t n, int64_t primary) {
   return r == primary ? 0 : -1;  // the walk must end at the "$" row
 }
 
+// 16-bit-symbol BWT (reference xbwt16 path for UTF-8 2-byte ids,
+// rcbwt.c:66-80 / libsais16): same SA-IS core, alphabet 65537.
+int64_t trc_bwt16(const uint16_t* in, uint16_t* out, int64_t n) {
+  if (n <= 0) return n == 0 ? 0 : -1;
+  if (n > INT32_C(0x7ffffffe) - 1) return -1;
+  std::vector<int32_t> t(n + 1), sa(n + 1);
+  for (int64_t i = 0; i < n; ++i) t[i] = int32_t(in[i]) + 1;
+  t[n] = 0;
+  sais_rec(t.data(), sa.data(), int32_t(n + 1), 65537);
+  int64_t primary = -1, m = 0;
+  for (int64_t k = 0; k <= n; ++k) {
+    int32_t j = sa[k];
+    if (j == 0) { primary = k; continue; }
+    out[m++] = in[j - 1];
+  }
+  return primary;
+}
+
+int trc_unbwt16(const uint16_t* in, uint16_t* out, int64_t n,
+                int64_t primary) {
+  if (n < 0 || primary < 0 || primary > n) return -1;
+  if (n == 0) return 0;
+  std::vector<int64_t> C(65538, 0);
+  for (int64_t i = 0; i < n; ++i) C[in[i] + 1]++;
+  int64_t sum = 1;
+  for (int64_t c = 0; c < 65537; ++c) {
+    int64_t t = C[c]; C[c] = sum; sum += t;
+  }
+  C[0] = 0;
+  std::vector<int64_t> lf(n + 1);
+  int64_t m = 0;
+  for (int64_t k = 0; k <= n; ++k) {
+    if (k == primary) continue;
+    lf[k] = C[in[m] + 1]++;
+    ++m;
+  }
+  int64_t r = 0;
+  for (int64_t i = n - 1; i >= 0; --i) {
+    out[i] = in[r - (r > primary ? 1 : 0)];
+    r = lf[r];
+  }
+  return r == primary ? 0 : -1;
+}
+
 }  // extern "C"

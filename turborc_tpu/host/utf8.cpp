@@ -183,4 +183,66 @@ int64_t trc_utf8_dec(const uint8_t* in, int64_t n, uint8_t* out,
   return o;
 }
 
+// 16-bit-id variant (reference xbwt16 input, rcbwt.c:66-80): every code
+// point maps to one u16 rank id - the stream feeds the 16-bit BWT.
+// Layout: varint(#syms) ++ varint(cp) per rank ++ u16-LE ids.
+int64_t trc_utf8_enc16(const uint8_t* in, int64_t n, uint8_t* out,
+                       int64_t cap) {
+  std::vector<uint32_t> cps;
+  if (parse_utf8(in, n, cps) < 0) return -1;
+  std::unordered_map<uint32_t, int64_t> freq;
+  for (uint32_t cp : cps) ++freq[cp];
+  if (int64_t(freq.size()) > 65536) return -1;
+  std::vector<std::pair<int64_t, uint32_t>> rank;
+  rank.reserve(freq.size());
+  for (auto& kv : freq) rank.push_back({-kv.second, kv.first});
+  std::sort(rank.begin(), rank.end());
+  std::unordered_map<uint32_t, uint32_t> id;
+  id.reserve(rank.size());
+  for (size_t r = 0; r < rank.size(); ++r) id[rank[r].second] = uint32_t(r);
+
+  uint8_t* op = out;
+  uint8_t* oend = out + cap;
+  if (op + 10 > oend) return -1;
+  put_varint(op, rank.size());
+  for (auto& rc : rank) {
+    if (op + 5 > oend) return -1;
+    put_varint(op, rc.second);
+  }
+  for (uint32_t cp : cps) {
+    if (op + 2 > oend) return -1;
+    uint32_t r = id[cp];
+    *op++ = uint8_t(r & 0xFF);
+    *op++ = uint8_t(r >> 8);
+  }
+  return op - out;
+}
+
+int64_t trc_utf8_dec16(const uint8_t* in, int64_t n, uint8_t* out,
+                       int64_t outcap) {
+  const uint8_t* ip = in;
+  const uint8_t* iend = in + n;
+  uint64_t nsym;
+  if (!get_varint(ip, iend, nsym) || nsym > 65536) return -1;
+  std::vector<uint32_t> cps(static_cast<size_t>(nsym));
+  for (uint64_t r = 0; r < nsym; ++r) {
+    uint64_t cp;
+    if (!get_varint(ip, iend, cp) || cp > 0x10FFFF) return -1;
+    cps[size_t(r)] = uint32_t(cp);
+  }
+  if ((iend - ip) & 1) return -1;
+  int64_t o = 0;
+  while (ip < iend) {
+    uint32_t r = uint32_t(ip[0]) | (uint32_t(ip[1]) << 8);
+    ip += 2;
+    if (r >= nsym) return -1;
+    uint8_t tmp[4];
+    int len = utf8_emit(cps[r], tmp);
+    if (o + len > outcap) return -1;
+    memcpy(out + o, tmp, size_t(len));
+    o += len;
+  }
+  return o;
+}
+
 }  // extern "C"

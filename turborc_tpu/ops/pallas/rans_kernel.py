@@ -67,10 +67,19 @@ WROWS = 2 * CHUNK + 8        # stream window rows per group
 # adaptation ramp - the whole round-1 ratio gap - by ~SHARE.
 SHARE = int(os.environ.get("TRC_SHARE", "8"))
 
+# Cross-lane sync cadence in bytes (must divide CHUNK).  Measured on the
+# 64MB corpus (bench/modelcost.py chunk variants): sync=2 even beats
+# per-byte batching (2.1824 bits/B), sync=4 matches it (2.1837), sync=8
+# loses 0.005 bits/B (2.1885).  Smaller SYNC costs more butterfly work
+# per byte - 4 is the ratio/speed default.
+SYNC = int(os.environ.get("TRC_SYNC", "4"))
+
 # Interpret mode (tests): runs every pallas_call op-by-op on CPU.  Only
 # practical at tiny geometry (TRC_GROUPS=2), which is how CI covers the
 # decode kernel's cross-grid-step carry off-hardware.
 INTERPRET = bool(int(os.environ.get("TRC_INTERPRET", "0")))
+
+assert CHUNK % SYNC == 0, "sync cadence must divide the grid-step chunk"
 
 
 def _treesum(parts):
@@ -182,11 +191,13 @@ def _dec_search(state, cdf):
 # rccdf.c:50-68, plays the same role for its static codecs).  The tables
 # arrive pre-broadcast as VMEM inputs [16, G, 128] / [16, 16, G, 128].
 
-def _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl):
+def _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl, start_lo=None):
     for i in range(16):
         cdf_hi[i] = hi_tbl[i]
         for h in range(16):
             cdf_lo[h, i] = lo_tbl[h, i]
+            if start_lo is not None:
+                start_lo[h, i] = lo_tbl[h, i]
 
 
 def _broadcast_tables(hi_tbl, lo_tbl):
@@ -272,8 +283,9 @@ def _shift_pair_left(q0, q1, c, lane):
 # decode kernel
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
-                   cdf_lo, start_lo, queue, window, pword, vq, sem):
+def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
+                   states, cdf_hi, cdf_lo, start_lo, queue, window, pword,
+                   vq, sem):
     """Queue-based decode: the next 256 unconsumed words of each group
     live in two register tiles (queue); the per-fetch word distribution
     is a 7-stage barrel gather (monotone rank distances) instead of a
@@ -300,7 +312,8 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
     @pl.when(g == 0)
     def _():
         states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
-        _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
+        _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl,
+                     start_lo if SHARE > 1 else None)
         queue[0] = window[:, 2, :]
         queue[1] = window[:, 3, :]
 
@@ -341,14 +354,7 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
         vcnt = jnp.where(refill, vcnt + 128, vcnt)
         return state, q0, q1, vcnt, consumed
 
-    # snapshot for the end-of-step cross-lane sync (hi_t list is the
-    # register snapshot; lo needs a VMEM copy since cdf_lo mutates)
     start_hi = hi_t
-    if SHARE > 1:
-        for h in range(16):
-            for i in range(16):
-                start_lo[h, i] = cdf_lo[h, i]
-
     for t in range(CHUNK):
         # ---- hi nibble (own copy, immediate own update)
         state, hi, low_h = _dec_search(state, hi_t)
@@ -368,20 +374,30 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, states, cdf_hi,
 
         out_ref[t] = (hi << 4) | lo
 
-    # ---- cross-lane sync: copies re-join as start + sum of set diffs
-    if SHARE > 1:
-        d = [_set_sum(hi_t[i] - start_hi[i], lane) for i in range(16)]
-        hi_t = _clamp16(_repair16([start_hi[i] + d[i] for i in range(16)]))
-        for h in range(16):
-            dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
-                    for i in range(16)]
-            new_row = _clamp16(_repair16(
-                [start_lo[h, i] + dsum[i] for i in range(16)]))
-            for i in range(16):
-                cdf_lo[h, i] = new_row[i]
+        # ---- cross-lane sync: copies re-join as repair(start + sum of
+        # set diffs since the last sync).  start_lo always holds the
+        # last sync state (the sync writes BOTH buffers; no snapshot
+        # copies), hi snapshots live in registers.  The repair+clamp at
+        # sync is load-bearing: leaving rows unrepaired feeds the repair
+        # lift back into the next diff sum, a xSHARE positive feedback
+        # that balloons the tables (measured: ratio 27.4% -> 40.7%).
+        if SHARE > 1 and t % SYNC == SYNC - 1:
+            d = [_set_sum(hi_t[i] - start_hi[i], lane) for i in range(16)]
+            hi_t = _clamp16(_repair16([start_hi[i] + d[i]
+                                       for i in range(16)]))
+            start_hi = hi_t
+            for h in range(16):
+                dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
+                        for i in range(16)]
+                new_r = _clamp16(_repair16(
+                    [start_lo[h, i] + dsum[i] for i in range(16)]))
+                for i in range(16):
+                    cdf_lo[h, i] = new_r[i]
+                    start_lo[h, i] = new_r[i]
 
     # ---- persist carry state (pword = absolute consumed position)
     states[:, :] = state
+    fstate_ref[:, :] = state  # last grid step's write = final states
     queue[0] = q0
     queue[1] = q1
     for i in range(16):
@@ -397,7 +413,9 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
                 hi_tbl: jnp.ndarray | None = None,
                 lo_tbl: jnp.ndarray | None = None) -> jnp.ndarray:
     """gstreams [GROUPS, R, GLANES] int32 (consumption-order + state rows,
-    padded with >= WROWS extra rows) -> bytes [K, GROUPS, GLANES].
+    padded with >= WROWS extra rows) -> (bytes [K, GROUPS, GLANES],
+    final_states [GROUPS, GLANES]) - the final states carry the 16-bit
+    payload seeds (state seeding: final = ANS_LOW + seed).
 
     hi_tbl [16, GROUPS] / lo_tbl [16, 16, GROUPS] int32: per-group
     warm-start cumulative CDF tables (defaults: uniform staircase)."""
@@ -416,10 +434,13 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((CHUNK, GROUPS, GLANES),
-                               lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, GROUPS, GLANES), jnp.int32),
+        out_specs=[pl.BlockSpec((CHUNK, GROUPS, GLANES),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((K, GROUPS, GLANES), jnp.int32),
+                   jax.ShapeDtypeStruct((GROUPS, GLANES), jnp.int32)],
         scratch_shapes=[
             pltpu.VMEM((GROUPS, GLANES), jnp.int32),          # states
             pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),      # cdf_hi
@@ -458,15 +479,12 @@ def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo,
 
     @pl.when(g == 0)
     def _():
-        _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
+        _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl,
+                     start_lo if SHARE > 1 else None)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
     hi_t = [cdf_hi[i] for i in range(16)]
     start_hi = hi_t
-    if SHARE > 1:
-        for h in range(16):
-            for i in range(16):
-                start_lo[h, i] = cdf_lo[h, i]
     for t in range(CHUNK):
         b = block_ref[t]
         hi, lo = b >> 4, b & 15
@@ -482,16 +500,19 @@ def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo,
                 cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
         probs_ref[2 * t] = (low_h << 16) | fr_h
         probs_ref[2 * t + 1] = (low_l << 16) | fr_l
-    if SHARE > 1:
-        d = [_set_sum(hi_t[i] - start_hi[i], lane) for i in range(16)]
-        hi_t = _clamp16(_repair16([start_hi[i] + d[i] for i in range(16)]))
-        for h in range(16):
-            dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
-                    for i in range(16)]
-            new_row = _clamp16(_repair16(
-                [start_lo[h, i] + dsum[i] for i in range(16)]))
-            for i in range(16):
-                cdf_lo[h, i] = new_row[i]
+        if SHARE > 1 and t % SYNC == SYNC - 1:
+            d = [_set_sum(hi_t[i] - start_hi[i], lane) for i in range(16)]
+            hi_t = _clamp16(_repair16([start_hi[i] + d[i]
+                                       for i in range(16)]))
+            start_hi = hi_t
+            for h in range(16):
+                dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
+                        for i in range(16)]
+                new_r = _clamp16(_repair16(
+                    [start_lo[h, i] + dsum[i] for i in range(16)]))
+                for i in range(16):
+                    cdf_lo[h, i] = new_r[i]
+                    start_lo[h, i] = new_r[i]
     for i in range(16):
         cdf_hi[i] = hi_t[i]
 
@@ -519,13 +540,16 @@ def _exact_div(state, freq):
     return q
 
 
-def _coder_kernel(probs_ref, words_ref, emit_ref, stout_ref, states):
-    """Backward coding pass over one reversed chunk of nibble slots."""
+def _coder_kernel(init_ref, probs_ref, words_ref, emit_ref, stout_ref,
+                  states):
+    """Backward coding pass over one reversed chunk of nibble slots.
+    init_ref [G, 128]: per-lane initial encoder states (>= ANS_LOW;
+    state seeding stores 16 bits of payload per lane in them)."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
-        states[:, :] = jnp.full((GROUPS, GLANES), ANS_LOW, jnp.int32)
+        states[:, :] = init_ref[:, :]
 
     state = states[:, :]
     for t in range(2 * CHUNK - 1, -1, -1):
@@ -546,11 +570,14 @@ def _coder_kernel(probs_ref, words_ref, emit_ref, stout_ref, states):
 @functools.partial(jax.jit, static_argnames=("K",))
 def encode_tile_pallas(block: jnp.ndarray, K: int,
                        hi_tbl: jnp.ndarray | None = None,
-                       lo_tbl: jnp.ndarray | None = None):
+                       lo_tbl: jnp.ndarray | None = None,
+                       init_states: jnp.ndarray | None = None):
     """block [LANES, K] -> (gstreams, glens) via the Pallas passes."""
     assert K % CHUNK == 0
     if hi_tbl is None:
         hi_tbl, lo_tbl = _default_tables()
+    if init_states is None:
+        init_states = jnp.full((GROUPS, GLANES), ANS_LOW, jnp.int32)
     hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl)
     cols = block.T.reshape(K, GROUPS, GLANES)
     probs = pl.pallas_call(
@@ -582,7 +609,9 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
     words, emit, state = pl.pallas_call(
         _coder_kernel,
         grid=(n,),
-        in_specs=[pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+        in_specs=[pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
                                lambda i: (n - 1 - i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
@@ -596,7 +625,7 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
-    )(probs)
+    )(init_states, probs)
     return place_tile(words, emit, state, K)
 
 
@@ -713,7 +742,8 @@ def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("K",))
 def encode_tile(block: jnp.ndarray, K: int,
                 hi_tbl: jnp.ndarray | None = None,
-                lo_tbl: jnp.ndarray | None = None):
+                lo_tbl: jnp.ndarray | None = None,
+                init_states: jnp.ndarray | None = None):
     """block [LANES, K] int32 bytes -> (gstreams [GROUPS, R, 128],
     glens [GROUPS]).  XLA twin of the Pallas passes (same share-SHARE
     model semantics, via codecs/rans_cdf_s8); only the stitch differs
@@ -722,19 +752,19 @@ def encode_tile(block: jnp.ndarray, K: int,
     from turborc_tpu.ops import rans
 
     L = block.shape[0]
-    assert L == LANES and S8.SHARE == SHARE and S8.SYNC == CHUNK
+    assert L == LANES and S8.SHARE == SHARE and S8.SYNC == SYNC
     if hi_tbl is None:
         hi_tbl, lo_tbl = _default_tables()
     # per-lane tables from the per-group args (lane l is in group l//128)
     hi0 = jnp.repeat(hi_tbl.T, GLANES, axis=0)                 # [L, 16]
     lo0 = jnp.repeat(jnp.transpose(lo_tbl, (2, 0, 1)), GLANES, axis=0)
-    chunks = block.T.reshape(K // CHUNK, CHUNK, L)
+    chunks = block.T.reshape(K // SYNC, SYNC, L)
 
     def fwd(carry, bs):
         cdf_hi, cdf_lo = carry
         start_hi, start_lo = cdf_hi, cdf_lo
         outs = []
-        for u in range(CHUNK):
+        for u in range(SYNC):
             cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = S8._code_byte(
                 cdf_hi, cdf_lo, bs[u])
             outs.append(jnp.stack([jnp.stack([low_h, fr_h]),
@@ -746,7 +776,9 @@ def encode_tile(block: jnp.ndarray, K: int,
 
     _, probs = jax.lax.scan(fwd, (hi0, lo0), chunks)
     probs = probs.reshape(2 * K, 2, L)
-    words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
+    init = None if init_states is None else init_states.reshape(L)
+    words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1],
+                                              init_state=init)
     S = 2 * K
     return _group_stitch(words.astype(jnp.int32).reshape(S, GROUPS, GLANES),
                          emit.reshape(S, GROUPS, GLANES),

@@ -73,17 +73,22 @@ def dec_renorm(state: jnp.ndarray, streams: jnp.ndarray, pos: jnp.ndarray):
 
 
 def encode_backward(lows: jnp.ndarray, freqs: jnp.ndarray,
-                    valid: jnp.ndarray | None = None):
+                    valid: jnp.ndarray | None = None,
+                    init_state: jnp.ndarray | None = None):
     """Backward coding pass over precomputed per-symbol probabilities.
 
     lows/freqs [S, L] int32, symbol-time major (s ascending = decode order).
     `valid` [S, L] bool marks real coding slots; invalid slots are no-ops
     (used by variable-length symbol codecs that pad to a fixed slot count).
+    `init_state` [L] uint32 (>= ANS_LOW) seeds the encoder states - the
+    decoder recovers them as its final states, so up to 16 payload bits
+    per lane ride along for free (state seeding).
     Returns (words [S, L], emit [S, L], state [L]) with words/emit indexed
     by symbol time s.
     """
     L = lows.shape[1]
-    init = jnp.full((L,), ANS_LOW, jnp.uint32)
+    init = (jnp.full((L,), ANS_LOW, jnp.uint32) if init_state is None
+            else init_state.astype(jnp.uint32))
 
     if valid is None:
         def body(state, inp):
