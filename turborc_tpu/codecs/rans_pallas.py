@@ -67,11 +67,14 @@ def _shape_lanes(data: np.ndarray, K: int) -> np.ndarray:
 
 # State seeding: the first SEED_BYTES of the (remapped) block ride inside
 # the per-lane encoder initial states instead of being entropy-coded -
-# the decoder's FINAL states return them for free.  A state may start
-# anywhere in [2^15, 2^31), so each lane carries SEED_BITS = 30 payload
-# bits (state0 = 2^30 | seed); the 4 B/lane flush words store them at
-# zero marginal cost, reclaiming ~0.273 * 30 bits/lane of stream.
-SEED_BITS = 30
+# the decoder's FINAL states return them for free.  rANS conserves
+# stream_bits + log2(state): raising state0 above the 2^15 floor costs
+# exactly those bits in the stream, so only the floor's OWN 15 bits are
+# free real estate (state0 = 2^15 | seed15).  Net gain ~= 15 * ratio -
+# 0.5 bits/lane (raw bits dodge their coded cost; +0.5 = E[log2 growth
+# above the floor]).  (Measured: a 2^30 seed variant LOST 7KB - the +15
+# structural bits outweighed the 8.2 carried-entropy bits.)
+SEED_BITS = 15
 SEED_BYTES = SEED_BITS * LANES // 8
 
 

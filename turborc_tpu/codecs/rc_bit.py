@@ -158,13 +158,14 @@ rcc_sf_encode, rcc_sf_decode = _make_block_api(1, "sf")
 
 def rcc2_encode(data, lanes=16, **kw):
     kw.pop("step_quant", None)
-    return _make_block_api(2, "s")[0](data, lanes=lanes, step_quant=256,
-                                      **kw)
+    # full 2^16x256 tables: clamp lanes so HBM stays <= ~1 GB
+    return _make_block_api(2, "s")[0](data, lanes=min(lanes, 16),
+                                      step_quant=256, **kw)
 
 
 def rcc2_decode(payload, n, lanes=16, **kw):
     kw.pop("step_quant", None)
-    return _make_block_api(2, "s")[1](payload, n, lanes=lanes,
+    return _make_block_api(2, "s")[1](payload, n, lanes=min(lanes, 16),
                                       step_quant=256, **kw)
 
 

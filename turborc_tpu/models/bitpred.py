@@ -90,7 +90,8 @@ class Fsm:
         self._nxt1 = jnp.asarray(nxt1)
 
     def init(self, L: int, N: int):
-        return jnp.zeros((L, N), jnp.int32)
+        from turborc_tpu.models import fsm
+        return jnp.full((L, N), fsm.initial_state(), jnp.int32)
 
     def predict(self, state, idx):
         return self._prob[_gather(state, idx)]

@@ -21,36 +21,48 @@ RC_BITS = 15
 TOTAL = 1 << RC_BITS
 
 
+_PQ = 1024       # probability quantization levels (10 bits)
+_NMAX = 31       # observation-count cap
+_RATE_CAP = 32   # final divisor = the simple counter's 1/32 rate
+
+
 @functools.lru_cache(maxsize=4)
-def build_table(max_count: int = 40, age_num: int = 6, age_den: int = 7):
+def build_table(pq_levels: int = _PQ, nmax: int = _NMAX,
+                rate_cap: int = _RATE_CAP):
     """Generate (prob [S], next0 [S], next1 [S]) int32 arrays.
 
-    States = pairs (n0, n1) with n0, n1 <= max_count.  On observing bit b
-    the own counter increments (saturating) and the opposite counter ages
-    by age_num/age_den (adaptivity to non-stationarity).
+    Count-adaptive-rate probability machine (round-2 redesign; the
+    round-1 KT machine with aggressive opposite-counter aging measured
+    38.2% on the shared 16MB corpus vs 28.6% for the reference's tuned
+    FSM1): states are (quantized probability pq, observation count n);
+    the update moves p toward the observed bit with divisor min(n+2,
+    rate_cap) - a running average early (KT-like fast ramp, optimal for
+    fresh contexts) that anneals into the simple counter's fixed 1/32
+    rate.  32768 states, the reference's table scale (FSM1.txt: 32,665).
     """
-    side = max_count + 1
-    idx = lambda n0, n1: n0 * side + n1
-    S = side * side
+    S = (nmax + 1) * pq_levels
+    shift = 15 - pq_levels.bit_length() + 1  # 15->10 bits: >>5
     prob = np.empty(S, np.int32)
     nxt0 = np.empty(S, np.int32)
     nxt1 = np.empty(S, np.int32)
-    for n0 in range(side):
-        for n1 in range(side):
-            p1 = (2 * n1 + 1) / (2 * (n0 + n1) + 2)  # KT estimator
-            prob[idx(n0, n1)] = min(TOTAL - 1,
-                                    max(1, int(round(p1 * TOTAL))))
-            a0 = min(n0 + 1, max_count)
-            d1 = (n1 * age_num) // age_den
-            nxt0[idx(n0, n1)] = idx(a0, d1)
-            a1 = min(n1 + 1, max_count)
-            d0 = (n0 * age_num) // age_den
-            nxt1[idx(n0, n1)] = idx(d0, a1)
+    for n in range(nmax + 1):
+        d = min(n + 2, rate_cap)
+        for pq in range(pq_levels):
+            sid = n * pq_levels + pq
+            p15 = (pq << shift) + (1 << (shift - 1))
+            prob[sid] = min(TOTAL - 1, max(1, p15))
+            n2 = min(n + 1, nmax)
+            p0 = p15 - -(-p15 // d)                 # toward 0, move >= 1
+            p1 = p15 + -(-(TOTAL - p15) // d)       # toward 1, move >= 1
+            pq0 = min(pq_levels - 1, max(0, p0 >> shift))
+            pq1 = min(pq_levels - 1, max(0, p1 >> shift))
+            nxt0[sid] = n2 * pq_levels + pq0
+            nxt1[sid] = n2 * pq_levels + pq1
     return prob, nxt0, nxt1
 
 
 def initial_state() -> int:
-    return 0  # (n0=0, n1=0) -> p = 1/2
+    return _PQ // 2  # (n=0, p=1/2)
 
 
 def parse_reference_format(text: str):
