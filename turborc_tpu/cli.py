@@ -62,16 +62,23 @@ def cmd_bench(args):
             dec_mbs=round(n / dec_s / 1e6, 2), roundtrip_ok=bool(ok)))
         print(f"{len(blob):12,} {100.0*len(blob)/n:6.2f}% "
               f"{n/enc_s/1e6:8.2f} MB/s {n/dec_s/1e6:8.2f} MB/s "
-              f"{name:16s} {'OK' if ok else 'FAIL'}")
-    if args.json:
-        import json as _json
-        with open(args.json, "w") as f:
-            _json.dump({"input": args.input, "bytes": len(data),
-                        "device": _device_str(), "reps": args.reps,
-                        "rows": records}, f, indent=1)
+              f"{name:16s} {'OK' if ok else 'FAIL'}", flush=True)
+        _dump_json(args, data, records)
+    _dump_json(args, data, records)
     print("\nBest methods by size:")
     for size, name in sorted(rows)[:5]:
         print(f"  {size:12,} {name}")
+
+
+def _dump_json(args, data, records):
+    """Write results incrementally so long sweeps survive timeouts."""
+    if not args.json:
+        return
+    import json as _json
+    with open(args.json, "w") as f:
+        _json.dump({"input": args.input, "bytes": len(data),
+                    "device": _device_str(), "reps": args.reps,
+                    "rows": records}, f, indent=1)
 
 
 def cmd_compress(args):

@@ -60,10 +60,10 @@ WROWS = 2 * CHUNK + 8        # stream window rows per group
 
 # Model sharing (round-2 ratio design, see codecs/rans_cdf_s8.py): SHARE
 # adjacent lanes share one adaptive model pair over a contiguous
-# SHARE*K-byte span (lane j of a set decodes bytes t*SHARE + j).  All
-# SHARE symbols of a step are priced against the pre-step tables, then
-# the SHARE updates land as one batched update kept in sync across the
-# set by a log2(SHARE) butterfly reduction.  Cuts the per-lane
+# SHARE*K-byte span (lane j of a set decodes bytes t*SHARE + j).  Each
+# lane updates its own table copy immediately with its own symbols;
+# every SYNC bytes the copies re-join as repair(start + sum of per-copy
+# diffs), a log2(SHARE) butterfly reduction.  Cuts the per-lane
 # adaptation ramp - the whole round-1 ratio gap - by ~SHARE.
 SHARE = int(os.environ.get("TRC_SHARE", "8"))
 
@@ -177,8 +177,9 @@ def _set_sum(x, lane):
 
 
 def _dec_search(state, cdf):
-    """Symbol search + state transition, NO model update (v2: updates are
-    batched at end of the byte step)."""
+    """Symbol search + state transition, NO model update (the caller
+    applies its own-copy update and the SYNC-window cross-lane re-join
+    separately)."""
     value = state & (TOTAL - 1)
     sym, low, freq = _cdf_search(cdf, value)
     state = freq * (state >> RC_BITS) + value - low
