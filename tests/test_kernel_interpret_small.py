@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from turborc_tpu.ops.pallas import rans_kernel as K_
 from turborc_tpu.codecs import rans_pallas as RP
 
-assert K_.GROUPS == 2 and K_.CHUNK == 4 and K_.INTERPRET
+assert K_.GROUPS == 2 and K_.CHUNK == 2 and K_.INTERPRET
 rng = np.random.default_rng(7)
 K = 3 * K_.CHUNK  # 3 grid steps: exercises carry + window slide + refill
 n = K_.LANES * K - 5
@@ -41,10 +41,16 @@ print("interpret kernel roundtrip ok", len(pay_xla))
 @pytest.mark.parametrize("share", ["8", "1"])
 def test_decode_kernel_interpret_roundtrip(share):
     env = dict(os.environ)
-    env.update(TRC_GROUPS="2", TRC_CHUNK="4", TRC_SHARE=share,
+    # LSYNC=4 so the cold-row (tiered) re-join fires within the test's
+    # few grid steps (cold cadence = LSYNC/CHUNK = 2 grid steps).
+    # CHUNK=2 keeps the unrolled interpret body small: the test host has
+    # ONE cpu core, and a cold-cache interpret compile of the CHUNK=4
+    # body exceeds 30 minutes there (warm runs are seconds).
+    env.update(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SHARE=share,
+               TRC_SYNC="2", TRC_LSYNC="4",
                TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
-                       capture_output=True, text=True, timeout=1800,
+                       capture_output=True, text=True, timeout=3600,
                        cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r.returncode == 0, f"STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}"
     assert "interpret kernel roundtrip ok" in r.stdout

@@ -167,14 +167,22 @@ def _cost_device(block, K, hi0, lo0, variant):
     return jnp.sum(bits)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "k", "sync"))
-def _cost_chunk(slab, K, k, hi0, lo0, sync):
+@functools.partial(jax.jit,
+                   static_argnames=("K", "k", "sync", "lsync", "tiered"))
+def _cost_chunk(slab, K, k, hi0, lo0, sync, lsync=0, tiered=False):
     """v3 kernel semantics: k lanes share a span; each applies its OWN
     updates immediately; every `sync` steps the copies re-join as
-    start + sum of per-copy diffs (repair + clamp).  slab [M, K, k]."""
+    start + sum of per-copy diffs (repair + clamp).  slab [M, K, k].
+
+    lsync > sync re-joins the 256-entry LO table only every lsync bytes
+    (hi stays at sync) - the lo butterfly is the decode kernel's single
+    largest per-byte cost, so a ratio-neutral larger cadence is speed."""
+    lsync = lsync or sync
+    assert lsync % sync == 0
     M = slab.shape[0]
     cols = jnp.transpose(slab, (1, 0, 2))  # [K, M, k]
-    chunks = cols.reshape(K // sync, sync, M, k)
+    chunks = cols.reshape(K // lsync, lsync, M, k)
+    srows = 4  # tiered mode: lo rows < srows re-join at `sync`
 
     def one(cdf_hi, cdf_lo, b):
         hi, lo = b >> 4, b & 15
@@ -194,9 +202,21 @@ def _cost_chunk(slab, K, k, hi0, lo0, sync):
         cdf_hi, cdf_lo = carry   # [M, k, 16], [M, k, 16, 16]
         start_hi, start_lo = cdf_hi, cdf_lo
         bits = 0.0
-        for u in range(sync):
+        for u in range(lsync):
             cdf_hi, cdf_lo, bt = one(cdf_hi, cdf_lo, bs[u])
             bits += bt
+            if (u + 1) % sync == 0 and u + 1 < lsync:
+                cdf_hi = cdf16.clamp_top(cdf16._repair(
+                    start_hi + (cdf_hi - start_hi).sum(axis=1,
+                                                       keepdims=True)))
+                start_hi = cdf_hi
+                if tiered:  # hot lo rows re-join at the fast cadence
+                    joined = cdf16.clamp_top(cdf16._repair(
+                        start_lo + (cdf_lo - start_lo).sum(
+                            axis=1, keepdims=True)))
+                    hot = (jnp.arange(16) < srows)[None, None, :, None]
+                    cdf_lo = jnp.where(hot, joined, cdf_lo)
+                    start_lo = jnp.where(hot, joined, start_lo)
         cdf_hi = cdf16.clamp_top(cdf16._repair(
             start_hi + (cdf_hi - start_hi).sum(axis=1, keepdims=True)))
         cdf_lo = cdf16.clamp_top(cdf16._repair(
@@ -315,6 +335,15 @@ def measure(data: np.ndarray, variant: str) -> dict:
         chunked = parts[0].startswith("chunk")
         spec = parts[0][5:]
         batched = spec.endswith("b")
+        lsync = 0
+        tiered = False
+        if chunked and "t" in spec:
+            spec, ls = spec.split("t")
+            lsync = int(ls.rstrip("b"))
+            tiered = True
+        elif chunked and "x" in spec:
+            spec, ls = spec.split("x")
+            lsync = int(ls.rstrip("b"))
         sync = int(spec.rstrip("b")) if chunked else 1
         k = 8 if chunked else int(spec.rstrip("b"))
         overhead = 544 + 4 * LANES + 4 * 64
@@ -322,8 +351,8 @@ def measure(data: np.ndarray, variant: str) -> dict:
             data = _rank_remap(data)
             overhead += 256
         M = LANES // k
-        block, KK = blockio.shape_block(data, M, 8 * k * (sync if chunked
-                                                          else 1))
+        block, KK = blockio.shape_block(
+            data, M, 8 * k * (max(sync, lsync) if chunked else 1))
         K = KK // k
         slab = block.reshape(M, K, k)
         if "pg" in parts:
@@ -343,7 +372,7 @@ def measure(data: np.ndarray, variant: str) -> dict:
             hi0, lo0 = _warm(data, M)
         if chunked:
             bits = float(_cost_chunk(jnp.asarray(slab), K, k, hi0, lo0,
-                                     sync))
+                                     sync, lsync, tiered))
         else:
             bits = float(_cost_shared(jnp.asarray(slab), K, k, hi0, lo0,
                                       batched))

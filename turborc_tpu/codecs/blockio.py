@@ -2,6 +2,8 @@
 CDF16 table construction."""
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 TOTAL = 1 << 15
@@ -195,3 +197,82 @@ def unpack(payload: bytes, lanes: int, M: int) -> np.ndarray:
     keep = np.arange(M)[None, :] < lengths[:, None]
     streams[keep] = flat
     return streams
+
+
+# ---------------------------------------------------------------------------
+# Device-resident pack/unpack: the host<->device link is the end-to-end
+# bottleneck for the scan/kernel codecs (tunneled dev rigs ~30 MB/s; PCIe
+# on real pods), so only OCCUPIED stream words cross it, as u16.  Column
+# counts are rounded to 512 so the trivial slice/pad programs stay within
+# a handful of compiled variants; the expensive coding scans keep their
+# single worst-case [L, M] signature.
+# ---------------------------------------------------------------------------
+
+def _round512(v: int, cap: int) -> int:
+    return min(cap, -(-v // 512) * 512)
+
+
+@functools.lru_cache(maxsize=None)
+def _jits():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def slice_cols(s, m):
+        return s[:, :m].astype(jnp.uint16)
+
+    @functools.partial(jax.jit, static_argnames=("M",))
+    def pad_cols(s, M):
+        L, Mn = s.shape
+        return jnp.zeros((L, M), jnp.int32).at[:, :Mn].set(
+            s.astype(jnp.int32))
+
+    to_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
+    to_i32 = jax.jit(lambda x: x.astype(jnp.int32))
+    return slice_cols, pad_cols, to_u8, to_i32
+
+
+def pack_device(streams_dev, lengths_dev) -> bytes:
+    """Device [L, M] words + [L] lengths -> payload; transfers only the
+    occupied columns (u16).  Wire format identical to pack()."""
+    slice_cols = _jits()[0]
+    lengths = np.asarray(lengths_dev).astype(np.int64)
+    if lengths.max() > 0xFFFF:
+        raise ValueError("lane stream exceeds u16 length field")
+    m = _round512(int(lengths.max()), streams_dev.shape[1])
+    mat = np.asarray(slice_cols(streams_dev, m))
+    flat = np.concatenate([mat[i, :lengths[i]]
+                           for i in range(lengths.size)])
+    return lengths.astype("<u2").tobytes() + flat.tobytes()
+
+
+def unpack_device(payload: bytes, lanes: int, M: int):
+    """payload -> device [lanes, M] int32 word matrix; pushes only the
+    occupied columns (u16) and zero-pads on device."""
+    import jax.numpy as jnp
+    pad_cols = _jits()[1]
+    if len(payload) < 2 * lanes:
+        raise ValueError("corrupt payload: truncated lane length table")
+    lengths = np.frombuffer(payload[:2 * lanes], "<u2").astype(np.int64)
+    flat = np.frombuffer(payload[2 * lanes:len(payload) & ~1], "<u2")
+    if lengths.max() > M or lengths.min() < 2 or lengths.sum() != flat.size:
+        raise ValueError("corrupt payload: lane length table inconsistent")
+    Mn = _round512(int(lengths.max()), M)
+    buf = np.zeros((lanes, Mn), np.uint16)
+    off = 0
+    for i in range(lanes):
+        ln = int(lengths[i])
+        buf[i, :ln] = flat[off:off + ln]
+        off += ln
+    return pad_cols(jnp.asarray(buf), M)
+
+
+def fetch_u8(dev) -> np.ndarray:
+    """Pull a device int array as uint8 (4x less link traffic)."""
+    return np.asarray(_jits()[2](dev))
+
+
+def push_u8(block: np.ndarray):
+    """Push a byte-valued int array as uint8, cast to int32 on device."""
+    import jax.numpy as jnp
+    return _jits()[3](jnp.asarray(block.astype(np.uint8)))

@@ -371,15 +371,15 @@ def make_block_api(kind: str, esize: int = 1):
         block, K = blockio.shape_block_elems(elems, lanes, step_quant,
                                          dtype=np.uint32)
         streams, lengths = encode_device(jnp.asarray(block), K, kind, W)
-        return blockio.pack(np.asarray(streams), np.asarray(lengths))
+        return blockio.pack_device(streams, lengths)
 
     def decode_block(payload: bytes, n: int, lanes: int = 512,
                      step_quant: int = 64, **_unused) -> np.ndarray:
         n_elems = -(-n // esize)
         K = blockio.K_for(n_elems, lanes, step_quant)
         M = _slots_per_elem(kind, W) * K + 2
-        streams = blockio.unpack(payload, lanes, M)
-        vals = np.asarray(decode_device(jnp.asarray(streams), K, kind, W))
+        streams = blockio.unpack_device(payload, lanes, M)
+        vals = np.asarray(decode_device(streams, K, kind, W))
         return _from_elems(vals.reshape(-1)[:n_elems], esize)[:n]
 
     return encode_block, decode_block

@@ -134,10 +134,10 @@ def encode_block(data: np.ndarray, lanes: int = 512,
     hi_f, lo_f = blockio.nibble_tables(data)
     block, K = _shape_block(data, lanes, step_quant)
     streams, lengths = encode_device(
-        jnp.asarray(block), K, jnp.asarray(blockio.cumulative(hi_f)),
+        blockio.push_u8(block), K, jnp.asarray(blockio.cumulative(hi_f)),
         jnp.asarray(blockio.cumulative(lo_f)))
     return (hi_f.astype("<u2").tobytes() + lo_f.astype("<u2").tobytes()
-            + _pack(np.asarray(streams), np.asarray(lengths)))
+            + blockio.pack_device(streams, lengths))
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 512,
@@ -152,8 +152,8 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
             (lo_f.sum(axis=-1) != blockio.TOTAL).any():
         raise ValueError("corrupt payload: bad warm-start tables")
     K = _K_for(n, lanes, step_quant)
-    streams = _unpack(payload[_TBL_BYTES:], lanes, 2 * K + 2)
-    block = np.asarray(decode_device(
-        jnp.asarray(streams), K, jnp.asarray(blockio.cumulative(hi_f)),
+    streams = blockio.unpack_device(payload[_TBL_BYTES:], lanes, 2 * K + 2)
+    block = blockio.fetch_u8(decode_device(
+        streams, K, jnp.asarray(blockio.cumulative(hi_f)),
         jnp.asarray(blockio.cumulative(lo_f))))
-    return block.astype(np.uint8).reshape(-1)[:n]
+    return block.reshape(-1)[:n]

@@ -92,14 +92,14 @@ def encode_block(data: np.ndarray, lanes: int = 64, step_quant: int = 256,
                  **_unused) -> bytes:
     lanes = min(lanes, 128)  # per-lane o1 model is ~256KB of state
     block, K = blockio.shape_block(data, lanes, step_quant)
-    streams, lengths = encode_device(jnp.asarray(block), K)
-    return blockio.pack(np.asarray(streams), np.asarray(lengths))
+    streams, lengths = encode_device(blockio.push_u8(block), K)
+    return blockio.pack_device(streams, lengths)
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 64,
                  step_quant: int = 256, **_unused) -> np.ndarray:
     lanes = min(lanes, 128)
     K = blockio.K_for(n, lanes, step_quant)
-    streams = blockio.unpack(payload, lanes, 2 * K + 2)
-    block = np.asarray(decode_device(jnp.asarray(streams), K))
-    return block.astype(np.uint8).reshape(-1)[:n]
+    streams = blockio.unpack_device(payload, lanes, 2 * K + 2)
+    block = blockio.fetch_u8(decode_device(streams, K))
+    return block.reshape(-1)[:n]

@@ -43,7 +43,13 @@ SHARE = int(os.environ.get("TRC_SHARE", "8"))
 # with the Pallas kernels' TRC_SYNC knob; see rans_kernel.SYNC for the
 # measured cadence/ratio curve)
 SYNC = int(os.environ.get("TRC_SYNC", "4"))
+# tiered lo-table sync (see rans_kernel.SROWS/LSYNC): hot rows < SROWS
+# re-join every SYNC, cold rows every LSYNC bytes
+SROWS = 4
+LSYNC = int(os.environ.get("TRC_LSYNC", "32"))
 N_SEG = 64     # warm-start table segments per block
+
+assert LSYNC % SYNC == 0
 
 
 def _lo_row(cdf_lo, sel):
@@ -73,6 +79,27 @@ def _sync(cdf, start):
     return jnp.broadcast_to(new, (M, SHARE) + tail).reshape(L, *tail)
 
 
+def _hot_mask(cdf_lo):
+    """[1, 16, 1] bool: lo rows < SROWS (re-join at the fast cadence)."""
+    return (jnp.arange(16) < SROWS)[None, :, None]
+
+
+def _sync_lo_hot(cdf_lo, start_lo):
+    """Tiered hot-row re-join: rows < SROWS from the full-table join
+    (identical per-row math; cold rows keep their copies)."""
+    joined = _sync(cdf_lo, start_lo)
+    hot = _hot_mask(cdf_lo)
+    return (jnp.where(hot, joined, cdf_lo),
+            jnp.where(hot, joined, start_lo))
+
+
+def _sync_lo_cold(cdf_lo, start_lo):
+    """Cold-row re-join at the LSYNC boundary (rows >= SROWS; start_lo's
+    cold rows still hold the superchunk-start tables)."""
+    joined = _sync(cdf_lo, start_lo)
+    return jnp.where(_hot_mask(cdf_lo), cdf_lo, joined)
+
+
 def _code_byte(cdf_hi, cdf_lo, b):
     """One per-lane o0 nibble-pair step (immediate own update).
     Returns (cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l)."""
@@ -100,24 +127,35 @@ def encode_device(block: jnp.ndarray, K: int, hi_tbl, lo_tbl):
     """block [M, K, SHARE] int32 bytes -> (streams [L, 2K+2], lengths)."""
     M = block.shape[0]
     L = M * SHARE
-    assert K % SYNC == 0
+    assert K % LSYNC == 0
     # [K, M, SHARE] -> [K, L] byte columns (lane l = m*SHARE + j)
     cols = jnp.transpose(block, (1, 0, 2)).reshape(K, L)
-    chunks = cols.reshape(K // SYNC, SYNC, L)
+    # nested scan keeps the traced body one SYNC window (the flat
+    # LSYNC-unrolled body was ~8x larger; serializing its executable
+    # crashed the persistent cache)
+    chunks = cols.reshape(K // LSYNC, LSYNC // SYNC, SYNC, L)
 
-    def fwd(carry, bs):
-        cdf_hi, cdf_lo = carry
-        start_hi, start_lo = cdf_hi, cdf_lo
+    def win(carry, b):
+        cdf_hi, cdf_lo, start_lo = carry
+        start_hi = cdf_hi
         outs = []
         for u in range(SYNC):
             cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = _code_byte(
-                cdf_hi, cdf_lo, bs[u])
+                cdf_hi, cdf_lo, b[u])
             outs.append(jnp.stack([jnp.stack([low_h, fr_h]),
                                    jnp.stack([low_l, fr_l])]))
         if SHARE > 1:
             cdf_hi = _sync(cdf_hi, start_hi)
-            cdf_lo = _sync(cdf_lo, start_lo)
-        return (cdf_hi, cdf_lo), jnp.stack(outs)
+            cdf_lo, start_lo = _sync_lo_hot(cdf_lo, start_lo)
+        return (cdf_hi, cdf_lo, start_lo), jnp.stack(outs)
+
+    def fwd(carry, bs):
+        cdf_hi, cdf_lo = carry
+        (cdf_hi, cdf_lo, start_lo), outs = jax.lax.scan(
+            win, (cdf_hi, cdf_lo, cdf_lo), bs)
+        if SHARE > 1:  # cold rows re-join once per LSYNC bytes
+            cdf_lo = _sync_lo_cold(cdf_lo, start_lo)
+        return (cdf_hi, cdf_lo), outs
 
     _, probs = jax.lax.scan(fwd, _model_init(L, hi_tbl, lo_tbl), chunks)
     # [K//SYNC, SYNC, 2(sym), 2(low/freq), L] -> [2K, 2, L]
@@ -131,12 +169,12 @@ def decode_device(streams: jnp.ndarray, K: int, hi_tbl, lo_tbl):
     """streams [L, 2K+2] -> block [M, K, SHARE] int32 bytes."""
     L = streams.shape[0]
     M = L // SHARE
-    assert K % SYNC == 0
+    assert K % LSYNC == 0
     state, pos = rans.dec_init(streams)
 
-    def dec(carry, _):
-        cdf_hi, cdf_lo, state, pos = carry
-        start_hi, start_lo = cdf_hi, cdf_lo
+    def win(carry, _):
+        cdf_hi, cdf_lo, start_lo, state, pos = carry
+        start_hi = cdf_hi
         outs = []
         for _u in range(SYNC):
             value = (state & rans.MASK15).astype(jnp.int32)
@@ -155,12 +193,21 @@ def decode_device(streams: jnp.ndarray, K: int, hi_tbl, lo_tbl):
             outs.append((hi << 4) | lo)
         if SHARE > 1:
             cdf_hi = _sync(cdf_hi, start_hi)
-            cdf_lo = _sync(cdf_lo, start_lo)
-        return (cdf_hi, cdf_lo, state, pos), jnp.stack(outs)
+            cdf_lo, start_lo = _sync_lo_hot(cdf_lo, start_lo)
+        return (cdf_hi, cdf_lo, start_lo, state, pos), jnp.stack(outs)
+
+    def dec(carry, _):
+        cdf_hi, cdf_lo, state, pos = carry
+        (cdf_hi, cdf_lo, start_lo, state, pos), outs = jax.lax.scan(
+            win, (cdf_hi, cdf_lo, cdf_lo, state, pos), None,
+            length=LSYNC // SYNC)
+        if SHARE > 1:
+            cdf_lo = _sync_lo_cold(cdf_lo, start_lo)
+        return (cdf_hi, cdf_lo, state, pos), outs
 
     cdf_hi, cdf_lo = _model_init(L, hi_tbl, lo_tbl)
     _, bytes_t = jax.lax.scan(dec, (cdf_hi, cdf_lo, state, pos), None,
-                              length=K // SYNC)
+                              length=K // LSYNC)
     # [K//SYNC, SYNC, L] -> [K, L] -> [M, K, SHARE]
     return jnp.transpose(bytes_t.reshape(K, M, SHARE), (1, 0, 2))
 
@@ -187,10 +234,10 @@ def shape_spans(data: np.ndarray, lanes: int, step_quant: int):
     """Pad + reshape flat bytes into [M, K, SHARE] strided spans."""
     M = lanes // SHARE
     n = data.shape[0]
-    K = blockio.K_for(-(-n // SHARE), M, max(step_quant, SYNC))
+    K = blockio.K_for(-(-n // SHARE), M, max(step_quant, LSYNC))
     padded = np.zeros(M * K * SHARE, np.uint8)
     padded[:n] = data
-    return padded.reshape(M, K, SHARE).astype(np.int32), K
+    return padded.reshape(M, K, SHARE), K  # uint8: compact device push
 
 
 def _n_seg(lanes: int) -> int:
@@ -203,11 +250,11 @@ def encode_block(data: np.ndarray, lanes: int = 8192,
     hi_f, lo_f = segment_tables(data, n_seg)
     block, K = shape_spans(data, lanes, step_quant)
     streams, lengths = encode_device(
-        jnp.asarray(block), K,
+        blockio.push_u8(block), K,
         jnp.asarray(blockio.cumulative(hi_f)),
         jnp.asarray(blockio.cumulative(lo_f)))
     return (hi_f.astype("<u2").tobytes() + lo_f.astype("<u2").tobytes()
-            + blockio.pack(np.asarray(streams), np.asarray(lengths)))
+            + blockio.pack_device(streams, lengths))
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 8192,
@@ -224,10 +271,10 @@ def decode_block(payload: bytes, n: int, lanes: int = 8192,
             (lo_f.sum(-1) != blockio.TOTAL).any():
         raise ValueError("corrupt payload: bad warm-start tables")
     M = lanes // SHARE
-    K = blockio.K_for(-(-n // SHARE), M, max(step_quant, SYNC))
-    streams = blockio.unpack(payload[tbl:], lanes, 2 * K + 2)
-    block = np.asarray(decode_device(
-        jnp.asarray(streams), K,
+    K = blockio.K_for(-(-n // SHARE), M, max(step_quant, LSYNC))
+    streams = blockio.unpack_device(payload[tbl:], lanes, 2 * K + 2)
+    block = blockio.fetch_u8(decode_device(
+        streams, K,
         jnp.asarray(blockio.cumulative(hi_f)),
         jnp.asarray(blockio.cumulative(lo_f))))
-    return block.astype(np.uint8).reshape(-1)[:n]
+    return block.reshape(-1)[:n]

@@ -112,16 +112,16 @@ def _build_nibble_freqs(data: np.ndarray) -> np.ndarray:
 def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
                  **_unused) -> bytes:
     block, K = blockio.shape_block(data, lanes, step_quant)
-    streams, lengths = encode_adaptive(jnp.asarray(block), K)
-    return blockio.pack(np.asarray(streams), np.asarray(lengths))
+    streams, lengths = encode_adaptive(blockio.push_u8(block), K)
+    return blockio.pack_device(streams, lengths)
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 512,
                  step_quant: int = 256, **_unused) -> np.ndarray:
     K = blockio.K_for(n, lanes, step_quant)
-    streams = blockio.unpack(payload, lanes, 2 * K + 2)
-    block = np.asarray(decode_adaptive(jnp.asarray(streams), K))
-    return block.astype(np.uint8).reshape(-1)[:n]
+    streams = blockio.unpack_device(payload, lanes, 2 * K + 2)
+    block = blockio.fetch_u8(decode_adaptive(streams, K))
+    return block.reshape(-1)[:n]
 
 
 def encode_block_static(data: np.ndarray, lanes: int = 512,
@@ -130,9 +130,10 @@ def encode_block_static(data: np.ndarray, lanes: int = 512,
     cdf = np.zeros(17, np.int32)
     np.cumsum(freqs, out=cdf[1:])
     block, K = blockio.shape_block(data, lanes, step_quant)
-    streams, lengths = encode_static(jnp.asarray(block), jnp.asarray(cdf), K)
-    return freqs.astype("<u2").tobytes() + blockio.pack(
-        np.asarray(streams), np.asarray(lengths))
+    streams, lengths = encode_static(blockio.push_u8(block),
+                                     jnp.asarray(cdf), K)
+    return freqs.astype("<u2").tobytes() + blockio.pack_device(
+        streams, lengths)
 
 
 def decode_block_static(payload: bytes, n: int, lanes: int = 512,
@@ -143,7 +144,6 @@ def decode_block_static(payload: bytes, n: int, lanes: int = 512,
         raise ValueError("corrupt payload: bad static nibble CDF")
     cdf = np.zeros(17, np.int32)
     np.cumsum(freqs, out=cdf[1:])
-    streams = blockio.unpack(payload[32:], lanes, 2 * K + 2)
-    block = np.asarray(decode_static(jnp.asarray(streams),
-                                     jnp.asarray(cdf), K))
-    return block.astype(np.uint8).reshape(-1)[:n]
+    streams = blockio.unpack_device(payload[32:], lanes, 2 * K + 2)
+    block = blockio.fetch_u8(decode_static(streams, jnp.asarray(cdf), K))
+    return block.reshape(-1)[:n]

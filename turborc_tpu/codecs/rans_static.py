@@ -88,9 +88,10 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
         freqs[0] = 1
         cdf = np.zeros(257, np.int32)
         np.cumsum(freqs, out=cdf[1:])
-    streams, lengths = encode_device(jnp.asarray(block), jnp.asarray(cdf), K)
-    return freqs.astype("<u2").tobytes() + blockio.pack(
-        np.asarray(streams), np.asarray(lengths))
+    streams, lengths = encode_device(blockio.push_u8(block),
+                                     jnp.asarray(cdf), K)
+    return freqs.astype("<u2").tobytes() + blockio.pack_device(
+        streams, lengths)
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 512,
@@ -101,7 +102,6 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
         raise ValueError("corrupt payload: bad static CDF table")
     cdf = np.zeros(257, np.int32)
     np.cumsum(freqs, out=cdf[1:])
-    streams = blockio.unpack(payload[512:], lanes, 2 * K + 2)
-    block = np.asarray(decode_device(jnp.asarray(streams),
-                                     jnp.asarray(cdf), K))
-    return block.astype(np.uint8).reshape(-1)[:n]
+    streams = blockio.unpack_device(payload[512:], lanes, 2 * K + 2)
+    block = blockio.fetch_u8(decode_device(streams, jnp.asarray(cdf), K))
+    return block.reshape(-1)[:n]

@@ -220,15 +220,15 @@ def make_block_api(esize: int, vb: int = 3):
                      step_quant: int = 64, **_unused) -> bytes:
         block, K = _shape_u(_to_elems_u(data, esize), lanes, step_quant)
         streams, lengths = encode_device(jnp.asarray(block), K, W, vb)
-        return blockio.pack(np.asarray(streams), np.asarray(lengths))
+        return blockio.pack_device(streams, lengths)
 
     def decode_block(payload: bytes, n: int, lanes: int = 512,
                      step_quant: int = 64, **_unused) -> np.ndarray:
         n_elems = -(-n // esize)
         K = blockio.K_for(n_elems, lanes, step_quant)
         M = _slots_per_elem(W) * K + 2
-        streams = blockio.unpack(payload, lanes, M)
-        vals = np.asarray(decode_device(jnp.asarray(streams), K, W, vb))
+        streams = blockio.unpack_device(payload, lanes, M)
+        vals = np.asarray(decode_device(streams, K, W, vb))
         flat = vals.reshape(-1)[:n_elems]
         if esize == 1:
             return flat.astype(np.uint8)[:n]

@@ -131,19 +131,21 @@ def _make_block_api(order: int, pred_name: str):
     def encode_block(data: np.ndarray, lanes: int = 512,
                      step_quant: int = 256, prm0: int = 5,
                      prm1: int = 8, **_unused) -> bytes:
+        from turborc_tpu.codecs import blockio
         block, K = _base._shape_block(data, lanes, step_quant)
         streams, lengths = encode_device(
-            jnp.asarray(block), K, order, pred_name, prm0, prm1)
-        return _base._pack(np.asarray(streams), np.asarray(lengths))
+            blockio.push_u8(block), K, order, pred_name, prm0, prm1)
+        return blockio.pack_device(streams, lengths)
 
     def decode_block(payload: bytes, n: int, lanes: int = 512,
                      step_quant: int = 256, prm0: int = 5,
                      prm1: int = 8, **_unused) -> np.ndarray:
+        from turborc_tpu.codecs import blockio
         K = _base._K_for(n, lanes, step_quant)
-        streams = _base._unpack(payload, lanes, 8 * K + 2)
-        block = np.asarray(decode_device(
-            jnp.asarray(streams), K, order, pred_name, prm0, prm1))
-        return block.astype(np.uint8).reshape(-1)[:n]
+        streams = blockio.unpack_device(payload, lanes, 8 * K + 2)
+        block = blockio.fetch_u8(decode_device(
+            streams, K, order, pred_name, prm0, prm1))
+        return block.reshape(-1)[:n]
 
     return encode_block, decode_block
 
@@ -154,6 +156,20 @@ rc_ss_encode, rc_ss_decode = _make_block_api(0, "ss")
 rcc_ss_encode, rcc_ss_decode = _make_block_api(1, "ss")
 rc_sf_encode, rc_sf_decode = _make_block_api(0, "sf")
 rcc_sf_encode, rcc_sf_decode = _make_block_api(1, "sf")
+
+
+def ansb_encode(data, lanes=4, **kw):
+    """Bitwise ANS at the reference's design point (ansbc, anscdf.c:
+    669-705): 4 interleaved binary-rANS states over an o0 tree model.
+    Our lanes ARE the interleaved states; lanes is pinned to 4."""
+    kw.pop("step_quant", None)
+    return _make_block_api(0, "s")[0](data, lanes=4, step_quant=256, **kw)
+
+
+def ansb_decode(payload, n, lanes=4, **kw):
+    kw.pop("step_quant", None)
+    return _make_block_api(0, "s")[1](payload, n, lanes=4, step_quant=256,
+                                      **kw)
 
 
 def rcc2_encode(data, lanes=16, **kw):
@@ -236,7 +252,7 @@ def rc16_encode(data: np.ndarray, lanes: int = 512, step_quant: int = 64,
     block, K = blockio.shape_block_elems(elems, lanes, step_quant)
     streams, lengths = encoden_device(jnp.asarray(block), K, 16, "s", prm0,
                                       prm1)
-    return blockio.pack(np.asarray(streams), np.asarray(lengths))
+    return blockio.pack_device(streams, lengths)
 
 
 def rc16_decode(payload: bytes, n: int, lanes: int = 512,
@@ -245,9 +261,8 @@ def rc16_decode(payload: bytes, n: int, lanes: int = 512,
     from turborc_tpu.codecs import blockio
     n_elems = -(-n // 2)
     K = blockio.K_for(n_elems, lanes, step_quant)
-    streams = blockio.unpack(payload, lanes, 16 * K + 2)
-    vals = np.asarray(decoden_device(jnp.asarray(streams), K, 16, "s", prm0,
-                                     prm1))
+    streams = blockio.unpack_device(payload, lanes, 16 * K + 2)
+    vals = np.asarray(decoden_device(streams, K, 16, "s", prm0, prm1))
     return vals.reshape(-1)[:n_elems].astype("<u2").view(np.uint8)[:n]
 
 
@@ -265,15 +280,14 @@ def make_nbit_block_api(W: int):
                                              step_quant)
         streams, lengths = encoden_device(jnp.asarray(block), K, W, "s",
                                           prm0, prm1)
-        return blockio.pack(np.asarray(streams), np.asarray(lengths))
+        return blockio.pack_device(streams, lengths)
 
     def decode_block(payload: bytes, n: int, lanes: int = 512,
                      step_quant: int = 64, prm0: int = 5, prm1: int = 8,
                      **_unused) -> np.ndarray:
         K = blockio.K_for(n, lanes, step_quant)
-        streams = blockio.unpack(payload, lanes, W * K + 2)
-        vals = np.asarray(decoden_device(jnp.asarray(streams), K, W, "s",
-                                         prm0, prm1))
+        streams = blockio.unpack_device(payload, lanes, W * K + 2)
+        vals = np.asarray(decoden_device(streams, K, W, "s", prm0, prm1))
         return vals.reshape(-1)[:n].astype(np.uint8)
 
     return encode_block, decode_block
@@ -380,7 +394,7 @@ def rc32_encode(data: np.ndarray, lanes: int = 128, step_quant: int = 64,
                                          dtype=np.uint32)
     streams, lengths = encode32_device(jnp.asarray(block.view(np.int32)),
                                        K, prm0, prm1)
-    return blockio.pack(np.asarray(streams), np.asarray(lengths))
+    return blockio.pack_device(streams, lengths)
 
 
 def rc32_decode(payload: bytes, n: int, lanes: int = 128,
@@ -389,8 +403,8 @@ def rc32_decode(payload: bytes, n: int, lanes: int = 128,
     from turborc_tpu.codecs import blockio
     n_elems = -(-n // 4)
     K = blockio.K_for(n_elems, lanes, step_quant)
-    streams = blockio.unpack(payload, lanes, 32 * K + 2)
-    vals = np.asarray(decode32_device(jnp.asarray(streams), K, prm0, prm1))
+    streams = blockio.unpack_device(payload, lanes, 32 * K + 2)
+    vals = np.asarray(decode32_device(streams, K, prm0, prm1))
     return vals.reshape(-1)[:n_elems].astype("<u4").view(np.uint8)[:n]
 
 

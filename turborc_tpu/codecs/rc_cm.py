@@ -204,16 +204,16 @@ def make_block_api(variant: str):
     def encode_block(data: np.ndarray, lanes: int = 128,
                      step_quant: int = 256, **_unused) -> bytes:
         block, K = blockio.shape_block(data, lanes, step_quant)
-        streams, lengths = encode_device(jnp.asarray(block), K, variant,
+        streams, lengths = encode_device(blockio.push_u8(block), K, variant,
                                          o2_full=lanes <= 16)
-        return blockio.pack(np.asarray(streams), np.asarray(lengths))
+        return blockio.pack_device(streams, lengths)
 
     def decode_block(payload: bytes, n: int, lanes: int = 128,
                      step_quant: int = 256, **_unused) -> np.ndarray:
         K = blockio.K_for(n, lanes, step_quant)
-        streams = blockio.unpack(payload, lanes, 8 * K + 2)
-        block = np.asarray(decode_device(jnp.asarray(streams), K, variant,
-                                         o2_full=lanes <= 16))
-        return block.astype(np.uint8).reshape(-1)[:n]
+        streams = blockio.unpack_device(payload, lanes, 8 * K + 2)
+        block = blockio.fetch_u8(decode_device(streams, K, variant,
+                                               o2_full=lanes <= 16))
+        return block.reshape(-1)[:n]
 
     return encode_block, decode_block

@@ -68,6 +68,10 @@ def _lazy_init():
         register(57, "rans-cdf-o0-p", rans_pallas.encode_block,
                  rans_pallas.decode_block,
                  "flagship on Pallas TPU kernels, group-interleaved streams")
+        from turborc_tpu.codecs import rc_tree
+        register(8, "rc-p", rc_tree.encode_block, rc_tree.decode_block,
+                 "bitwise-tree model on Pallas TPU kernels, nibble-grouped "
+                 "coding (fast path of ref rc id 1)")
     from turborc_tpu.codecs import rans_cdf_o1, rans_cdf_s8
     register(58, "rans-cdf-s8", rans_cdf_s8.encode_block,
              rans_cdf_s8.decode_block,
@@ -154,10 +158,10 @@ def _lazy_init():
         enc, dec = rc_bit.make_nbit_block_api(w)
         register(140 + w, f"rc{w}b", enc, dec,
                  f"bitwise {w}-bit symbol tree model (ref mb_o0.h:44-88)")
-    register(66, "ansb", rc_bit.rc_s_encode, rc_bit.rc_s_decode,
-             "bitwise ANS: o0 tree model over lane-parallel binary rANS "
-             "(ref ansbc/ansbd id 66, anscdf.c:673-731; same design point "
-             "as rc-o0 - the binary coder here IS an ANS)")
+    register(66, "ansb", rc_bit.ansb_encode, rc_bit.ansb_decode,
+             "bitwise ANS at the reference design point: 4 interleaved "
+             "binary-rANS states, o0 tree model "
+             "(ref ansbc/ansbd id 66, anscdf.c:673-731)")
 
     from turborc_tpu.codecs import bwt, rc_cm
     register(20, "rcbwt", bwt.encode_block, bwt.decode_block,

@@ -167,16 +167,16 @@ def make_block_api(order1: bool = False):
         block, K = blockio.shape_block(data, lanes, step_quant)
         if K > (1 << RUN_W):
             raise ValueError("rle: K exceeds run-length gamma range")
-        streams, lengths = encode_device(jnp.asarray(block), K, order1)
-        return blockio.pack(np.asarray(streams), np.asarray(lengths))
+        streams, lengths = encode_device(blockio.push_u8(block), K, order1)
+        return blockio.pack_device(streams, lengths)
 
     def decode_block(payload: bytes, n: int, lanes: int = 512,
                      step_quant: int = 64, **_unused) -> np.ndarray:
         K = blockio.K_for(n, lanes, step_quant)
         M = (8 + 1 + 2 * RUN_W) * K + 2
-        streams = blockio.unpack(payload, lanes, M)
-        block = np.asarray(decode_device(jnp.asarray(streams), K, order1))
-        return block.astype(np.uint8).reshape(-1)[:n]
+        streams = blockio.unpack_device(payload, lanes, M)
+        block = blockio.fetch_u8(decode_device(streams, K, order1))
+        return block.reshape(-1)[:n]
 
     return encode_block, decode_block
 

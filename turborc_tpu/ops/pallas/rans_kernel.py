@@ -74,12 +74,34 @@ SHARE = int(os.environ.get("TRC_SHARE", "8"))
 # per byte - 4 is the ratio/speed default.
 SYNC = int(os.environ.get("TRC_SYNC", "4"))
 
+# Tiered lo-table sync (round-2 speed design): ablation measured the
+# sync butterflies at 63% of decode time (338 vs 926 MB/s with sync
+# ablated, SYNC=4), almost all of it the 256-entry lo table.  The
+# frequency-rank remap concentrates hi nibbles in the low rows BY
+# CONSTRUCTION (rows 0-3 carry 100% of a 64-symbol alphabet, >=92% of
+# enwik-like bytes), so only rows < SROWS re-join every SYNC; rows >=
+# SROWS re-join every LSYNC bytes.  On corpora whose remapped alphabet
+# fits 64 symbols the trajectories are BIT-IDENTICAL to full sync (cold
+# diffs are zero); on full-256 data the measured cost is ~0.01 bit/B
+# (bench/modelcost.py chunk<k>t<lsync> variants).
+SROWS = 4
+LSYNC = int(os.environ.get("TRC_LSYNC", "32"))
+
 # Interpret mode (tests): runs every pallas_call op-by-op on CPU.  Only
 # practical at tiny geometry (TRC_GROUPS=2), which is how CI covers the
 # decode kernel's cross-grid-step carry off-hardware.
 INTERPRET = bool(int(os.environ.get("TRC_INTERPRET", "0")))
 
+# Timing-ablation knob (perf attribution ONLY - decode output is WRONG
+# with any part disabled): comma-set of {sync, losync, wb, rowsel, fetch}
+# to skip in the decode kernel.
+ABLATE = frozenset(filter(None,
+                          os.environ.get("TRC_ABLATE", "").split(",")))
+
 assert CHUNK % SYNC == 0, "sync cadence must divide the grid-step chunk"
+assert LSYNC % CHUNK == 0 and LSYNC % SYNC == 0, \
+    "cold-row cadence must be a multiple of the grid-step chunk"
+LSYNC_STEPS = LSYNC // CHUNK  # grid steps between cold-row re-joins
 
 
 def _treesum(parts):
@@ -123,13 +145,43 @@ def _lane_select2(row0, row1, inrow1, col):
     return _treesum(parts)
 
 
+def _select16(vals, b0, b1, b2, b3):
+    """vals[idx] per lane for idx with precomputed bit masks: 4-level
+    binary-tree select, 15 wheres and no adds (vs one-hot treesum's
+    16 wheres + 15 adds)."""
+    v = [jnp.where(b0, vals[2 * i + 1], vals[2 * i]) for i in range(8)]
+    v = [jnp.where(b1, v[2 * i + 1], v[2 * i]) for i in range(4)]
+    v = [jnp.where(b2, v[2 * i + 1], v[2 * i]) for i in range(2)]
+    return jnp.where(b3, v[1], v[0])
+
+
+def _idx_bits(idx):
+    return ((idx & 1) != 0, (idx & 2) != 0, (idx & 4) != 0, (idx & 8) != 0)
+
+
+def _select_dyn(vals, idx):
+    """vals[idx] per lane, any list length: binary-tree select padded to
+    the next power of two (n-1 wheres, no adds)."""
+    n = 1
+    while n < len(vals):
+        n <<= 1
+    vals = list(vals) + [vals[0]] * (n - len(vals))
+    bit = 1
+    while len(vals) > 1:
+        b = (idx & bit) != 0
+        vals = [jnp.where(b, vals[2 * i + 1], vals[2 * i])
+                for i in range(len(vals) // 2)]
+        bit <<= 1
+    return vals[0]
+
+
 def _cdf_search(cdf, value):
     """cdf = list of 16 (G,128) tiles. Returns (sym, low, freq)."""
     sym = _treesum([(cdf[i] <= value).astype(jnp.int32)
                     for i in range(1, 16)])
-    low = _treesum([jnp.where(sym == i, cdf[i], 0) for i in range(1, 16)])
-    nxt = _treesum([jnp.where(sym == i - 1, cdf[i], 0)
-                    for i in range(1, 16)]) + jnp.where(sym == 15, TOTAL, 0)
+    bits = _idx_bits(sym)
+    low = _select16(cdf, *bits)
+    nxt = _select16(cdf[1:] + [jnp.full_like(cdf[0], TOTAL)], *bits)
     return sym, low, nxt - low
 
 
@@ -156,9 +208,15 @@ def _cdf_delta(cdf, low):
 
 
 def _cdf_update(cdf, low):
-    """Single-symbol staircase-mix update + repair (SHARE=1 path)."""
+    """Single-symbol staircase-mix update.  No repair/clamp: for a valid
+    strict-monotone cdf they are provably no-ops here - new gap >=
+    g + floor((tgap - g)/128) >= 1 since every target gap >= IC = 10,
+    and the top entry self-limits below 2^15 because the >>7 step stops
+    advancing within 128 of its fixpoint (verified by brute force, 6M
+    steps).  Only the SYNC re-join's summed diffs can violate, so repair
+    + clamp run there."""
     d = _cdf_delta(cdf, low)
-    return _repair16([cdf[i] + d[i] for i in range(16)])
+    return [cdf[i] + d[i] for i in range(16)]
 
 
 def _set_sum(x, lane):
@@ -174,6 +232,19 @@ def _set_sum(x, lane):
                        pltpu.roll(x, GLANES - k, 1))
         x = x + px
     return x
+
+
+def _rejoin_rows(cdf_lo, start_lo, lane, rows):
+    """Re-join the given lo-table rows across each SHARE-lane set:
+    repair(clamp(start + sum of per-copy diffs)), writing both buffers."""
+    for h in rows:
+        dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
+                for i in range(16)]
+        new_r = _clamp16(_repair16(
+            [start_lo[h, i] + dsum[i] for i in range(16)]))
+        for i in range(16):
+            cdf_lo[h, i] = new_r[i]
+            start_lo[h, i] = new_r[i]
 
 
 def _dec_search(state, cdf):
@@ -347,8 +418,7 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
         refill = vcnt <= 128
         fillrel = (consumed + vcnt) >> 7
         fillrel = fillrel - base_v  # row to append, window-relative
-        row = _treesum([jnp.where(fillrel == w, window[:, w, :], 0)
-                        for w in range(WROWS)])
+        row = _select_dyn([window[:, w, :] for w in range(WROWS)], fillrel)
         rs = _rot_right(row, vcnt & 127)
         q0 = jnp.where(refill & (lane >= vcnt), rs, q0)
         q1 = jnp.where(refill & (lane < vcnt), rs, q1)
@@ -362,16 +432,26 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
         state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
         hi_t = _cdf_update(hi_t, low_h)
 
-        # ---- lo nibble: context-select the row, decode, write back
-        row_t = [_treesum([jnp.where(hi == h, cdf_lo[h, i], 0)
-                           for h in range(16)]) for i in range(16)]
+        # ---- lo nibble: context-select the row (binary-tree select on
+        # hi's bits: 15 wheres/entry, no adds), decode, write back
+        hb = _idx_bits(hi)
+        if "rowsel" in ABLATE:
+            row_t = [cdf_lo[0, i] for i in range(16)]
+        else:
+            row_t = [_select16([cdf_lo[h, i] for h in range(16)], *hb)
+                     for i in range(16)]
         state, lo, low_l = _dec_search(state, row_t)
-        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
+        if "fetch" in ABLATE:
+            state = jnp.where(state < ANS_LOW, state | (1 << 20), state)
+        else:
+            state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
+                                                  consumed)
         new_row = _cdf_update(row_t, low_l)
-        for h in range(16):
-            hit = hi == h
-            for i in range(16):
-                cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
+        if "wb" not in ABLATE:
+            for h in range(16):
+                hit = hi == h
+                for i in range(16):
+                    cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
 
         out_ref[t] = (hi << 4) | lo
 
@@ -382,19 +462,21 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
         # sync is load-bearing: leaving rows unrepaired feeds the repair
         # lift back into the next diff sum, a xSHARE positive feedback
         # that balloons the tables (measured: ratio 27.4% -> 40.7%).
-        if SHARE > 1 and t % SYNC == SYNC - 1:
+        # Tiered: only the hot lo rows (< SROWS) re-join here; cold rows
+        # re-join once per LSYNC bytes below.
+        if SHARE > 1 and t % SYNC == SYNC - 1 and "sync" not in ABLATE:
             d = [_set_sum(hi_t[i] - start_hi[i], lane) for i in range(16)]
             hi_t = _clamp16(_repair16([start_hi[i] + d[i]
                                        for i in range(16)]))
             start_hi = hi_t
-            for h in range(16):
-                dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
-                        for i in range(16)]
-                new_r = _clamp16(_repair16(
-                    [start_lo[h, i] + dsum[i] for i in range(16)]))
-                for i in range(16):
-                    cdf_lo[h, i] = new_r[i]
-                    start_lo[h, i] = new_r[i]
+            if "losync" not in ABLATE:
+                _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS))
+
+    # ---- cold-row re-join at the LSYNC boundary (grid-step aligned)
+    if SHARE > 1 and "sync" not in ABLATE and "losync" not in ABLATE:
+        @pl.when((g + 1) % LSYNC_STEPS == 0)
+        def _():
+            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS, 16))
 
     # ---- persist carry state (pword = absolute consumed position)
     states[:, :] = state
@@ -465,9 +547,9 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
 
 def _cdf_lookup(cdf, sym):
     """(low, freq) for a known symbol (encode side)."""
-    low = _treesum([jnp.where(sym == i, cdf[i], 0) for i in range(1, 16)])
-    nxt = _treesum([jnp.where(sym == i - 1, cdf[i], 0)
-                    for i in range(1, 16)]) + jnp.where(sym == 15, TOTAL, 0)
+    bits = _idx_bits(sym)
+    low = _select16(cdf, *bits)
+    nxt = _select16(cdf[1:] + [jnp.full_like(cdf[0], TOTAL)], *bits)
     return low, nxt - low
 
 
@@ -491,8 +573,9 @@ def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo,
         hi, lo = b >> 4, b & 15
         low_h, fr_h = _cdf_lookup(hi_t, hi)
         hi_t = _cdf_update(hi_t, low_h)
-        row_t = [_treesum([jnp.where(hi == h, cdf_lo[h, i], 0)
-                           for h in range(16)]) for i in range(16)]
+        hb = _idx_bits(hi)
+        row_t = [_select16([cdf_lo[h, i] for h in range(16)], *hb)
+                 for i in range(16)]
         low_l, fr_l = _cdf_lookup(row_t, lo)
         new_row = _cdf_update(row_t, low_l)
         for h in range(16):
@@ -506,14 +589,11 @@ def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo,
             hi_t = _clamp16(_repair16([start_hi[i] + d[i]
                                        for i in range(16)]))
             start_hi = hi_t
-            for h in range(16):
-                dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
-                        for i in range(16)]
-                new_r = _clamp16(_repair16(
-                    [start_lo[h, i] + dsum[i] for i in range(16)]))
-                for i in range(16):
-                    cdf_lo[h, i] = new_r[i]
-                    start_lo[h, i] = new_r[i]
+            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS))
+    if SHARE > 1:
+        @pl.when((g + 1) % LSYNC_STEPS == 0)
+        def _():
+            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS, 16))
     for i in range(16):
         cdf_hi[i] = hi_t[i]
 
@@ -575,6 +655,7 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
                        init_states: jnp.ndarray | None = None):
     """block [LANES, K] -> (gstreams, glens) via the Pallas passes."""
     assert K % CHUNK == 0
+    block = block.astype(jnp.int32)  # callers may push compact uint8
     if hi_tbl is None:
         hi_tbl, lo_tbl = _default_tables()
     if init_states is None:
@@ -752,28 +833,38 @@ def encode_tile(block: jnp.ndarray, K: int,
     from turborc_tpu.codecs import rans_cdf_s8 as S8
     from turborc_tpu.ops import rans
 
+    block = block.astype(jnp.int32)  # callers may push compact uint8
     L = block.shape[0]
-    assert L == LANES and S8.SHARE == SHARE and S8.SYNC == SYNC
+    assert L == LANES and S8.SHARE == SHARE and S8.SYNC == SYNC \
+        and S8.LSYNC == LSYNC
     if hi_tbl is None:
         hi_tbl, lo_tbl = _default_tables()
     # per-lane tables from the per-group args (lane l is in group l//128)
     hi0 = jnp.repeat(hi_tbl.T, GLANES, axis=0)                 # [L, 16]
     lo0 = jnp.repeat(jnp.transpose(lo_tbl, (2, 0, 1)), GLANES, axis=0)
-    chunks = block.T.reshape(K // SYNC, SYNC, L)
+    chunks = block.T.reshape(K // LSYNC, LSYNC // SYNC, SYNC, L)
 
-    def fwd(carry, bs):
-        cdf_hi, cdf_lo = carry
-        start_hi, start_lo = cdf_hi, cdf_lo
+    def win(carry, b):
+        cdf_hi, cdf_lo, start_lo = carry
+        start_hi = cdf_hi
         outs = []
         for u in range(SYNC):
             cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = S8._code_byte(
-                cdf_hi, cdf_lo, bs[u])
+                cdf_hi, cdf_lo, b[u])
             outs.append(jnp.stack([jnp.stack([low_h, fr_h]),
                                    jnp.stack([low_l, fr_l])]))
         if SHARE > 1:
             cdf_hi = S8._sync(cdf_hi, start_hi)
-            cdf_lo = S8._sync(cdf_lo, start_lo)
-        return (cdf_hi, cdf_lo), jnp.stack(outs)
+            cdf_lo, start_lo = S8._sync_lo_hot(cdf_lo, start_lo)
+        return (cdf_hi, cdf_lo, start_lo), jnp.stack(outs)
+
+    def fwd(carry, bs):
+        cdf_hi, cdf_lo = carry
+        (cdf_hi, cdf_lo, start_lo), outs = jax.lax.scan(
+            win, (cdf_hi, cdf_lo, cdf_lo), bs)
+        if SHARE > 1:
+            cdf_lo = S8._sync_lo_cold(cdf_lo, start_lo)
+        return (cdf_hi, cdf_lo), outs
 
     _, probs = jax.lax.scan(fwd, (hi0, lo0), chunks)
     probs = probs.reshape(2 * K, 2, L)
