@@ -31,16 +31,45 @@ def test_round2_flagship_class(corpora, codec):
     assert len(blob) < data.shape[0]
 
 
-def test_rcc2_full_o2(corpora):
-    data = corpora["skewed"][:4000]
-    blob = compress(data, _cfg("rcc2", lanes=8))
-    assert decompress(blob) == data.tobytes()
+def test_rcc2_full_o2():
+    # The full-o2 tables are ~0.5 GB per lane set; in a long suite run
+    # the accumulated XLA buffers plus this allocation can segfault the
+    # process (observed twice at this exact test), so it round-trips in
+    # a fresh interpreter.
+    import subprocess
+    import sys
+    script = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import numpy as np\n"
+        "from turborc_tpu import CodecConfig, compress, decompress\n"
+        "rng = np.random.default_rng(1234)\n"
+        "ranks = np.argsort(rng.random(256))\n"
+        "p = 1.0 / (np.arange(1, 257) ** 1.3)\n"
+        "data = ranks[rng.choice(256, 4000, p=p / p.sum())]"
+        ".astype(np.uint8)\n"
+        "cfg = CodecConfig(codec='rcc2', lanes=8, block_size=1 << 13,\n"
+        "                  step_quant=64)\n"
+        "blob = compress(data, cfg)\n"
+        "assert decompress(blob) == data.tobytes()\n")
+    subprocess.run([sys.executable, "-c", script], check=True, timeout=900)
 
 
 def test_rc32(rng):
     vals = rng.gamma(2, 300, 1500).astype("<u4")
     data = vals.view(np.uint8).copy()
     blob = compress(data, _cfg("rc-32", lanes=16))
+    assert decompress(blob) == data.tobytes()
+    assert len(blob) < len(data)
+
+
+def test_gamma32_full_width(rng):
+    """W=32 gamma must handle values with bit 31 set (regression: a bare
+    python ``1 << 31`` in slotted.bitlen overflowed int32 scalar
+    canonicalization, killing every rcg-32 encode at trace time)."""
+    vals = rng.gamma(2, 3e5, 2000).astype("<u4")
+    vals[:3] = [0, 2**31 + 7, 2**32 - 1]
+    data = vals.view(np.uint8).copy()
+    blob = compress(data, _cfg("rcg-32"))
     assert decompress(blob) == data.tobytes()
     assert len(blob) < len(data)
 

@@ -22,6 +22,8 @@ def _codec_cfg(args, codec=None):
 
 
 def cmd_bench(args):
+    import contextlib
+
     from turborc_tpu import compress, decompress
     from turborc_tpu.codecs import registry
 
@@ -32,38 +34,56 @@ def cmd_bench(args):
     rows = []
     records = []
     print(f"benchmarking {len(data):,} bytes on {_device_str()}")
-    for name in names:
-        cfg = _codec_cfg(args, codec=name)
-        try:
-            # warm-up (jit compile) + verify
-            blob = compress(data, cfg)
-            ok = decompress(blob) == data.tobytes()
-            # timed reps use rotated copies: the tunneled device backend
-            # caches identical executions, so re-timing the same input
-            # measures nothing (see bench.py methodology note)
-            variants = [np.roll(data, r + 1) for r in range(args.reps)]
-            t0 = time.perf_counter()
-            blobs = [compress(v, cfg) for v in variants]
-            enc_s = (time.perf_counter() - t0) / args.reps
-            t0 = time.perf_counter()
-            for b in blobs:
-                decompress(b)
-            dec_s = (time.perf_counter() - t0) / args.reps
-        except Exception as e:  # keep the sweep going; record the failure
-            print(f"{'-':>12} {name:16s} ERROR {type(e).__name__}: {e}")
-            records.append(dict(codec=name, error=f"{type(e).__name__}: {e}"))
-            continue
-        n = max(len(data), 1)
-        rows.append((len(blob), name))
-        records.append(dict(
-            codec=name, codec_id=registry.get(name).codec_id,
-            csize=len(blob), ratio=round(len(blob) / n, 5),
-            enc_mbs=round(n / enc_s / 1e6, 2),
-            dec_mbs=round(n / dec_s / 1e6, 2), roundtrip_ok=bool(ok)))
-        print(f"{len(blob):12,} {100.0*len(blob)/n:6.2f}% "
-              f"{n/enc_s/1e6:8.2f} MB/s {n/dec_s/1e6:8.2f} MB/s "
-              f"{name:16s} {'OK' if ok else 'FAIL'}", flush=True)
-        _dump_json(args, data, records)
+    if args.profile:
+        # jax.profiler trace of the timed region (reference role:
+        # time_.h instrumentation; here the XLA/TPU profiler is the
+        # native tool - open the dir with tensorboard or xprof)
+        import jax
+        profile_ctx = jax.profiler.trace(args.profile)
+    else:
+        profile_ctx = contextlib.nullcontext()
+    with profile_ctx:
+        for name in names:
+            cfg = _codec_cfg(args, codec=name)
+            try:
+                # warm-up (jit compile) + verify
+                blob = compress(data, cfg)
+                ok = decompress(blob) == data.tobytes()
+                # timed reps use rotated copies: the tunneled device
+                # backend caches identical executions, so re-timing the
+                # same input measures nothing (bench.py methodology note).
+                # Per-rep timers: report the MIN (reference time_.h
+                # TM-min calibration - least-disturbed run) plus the mean.
+                variants = [np.roll(data, r + 1) for r in range(args.reps)]
+                enc_ts, dec_ts, blobs = [], [], []
+                for v in variants:
+                    t0 = time.perf_counter()
+                    blobs.append(compress(v, cfg))
+                    enc_ts.append(time.perf_counter() - t0)
+                for b in blobs:
+                    t0 = time.perf_counter()
+                    decompress(b)
+                    dec_ts.append(time.perf_counter() - t0)
+                enc_s, dec_s = min(enc_ts), min(dec_ts)
+            except Exception as e:  # keep the sweep going; record it
+                print(f"{'-':>12} {name:16s} ERROR {type(e).__name__}: {e}")
+                records.append(dict(codec=name,
+                                    error=f"{type(e).__name__}: {e}"))
+                continue
+            n = max(len(data), 1)
+            rows.append((len(blob), name))
+            records.append(dict(
+                codec=name, codec_id=registry.get(name).codec_id,
+                csize=len(blob), ratio=round(len(blob) / n, 5),
+                enc_mbs=round(n / enc_s / 1e6, 2),
+                dec_mbs=round(n / dec_s / 1e6, 2),
+                enc_mbs_mean=round(n * args.reps / sum(enc_ts) / 1e6, 2),
+                dec_mbs_mean=round(n * args.reps / sum(dec_ts) / 1e6, 2),
+                roundtrip_ok=bool(ok)))
+            print(f"{len(blob):12,} {100.0*len(blob)/n:6.2f}% "
+                  f"{n/enc_s/1e6:8.2f} MB/s {n/dec_s/1e6:8.2f} MB/s "
+                  f"{name:16s} {'OK' if ok else 'FAIL'}", flush=True)
+            _dump_json(args, data, records)
     _dump_json(args, data, records)
     print("\nBest methods by size:")
     for size, name in sorted(rows)[:5]:
@@ -139,6 +159,8 @@ def main(argv=None):
     b.add_argument("-n", "--size", type=int, help="truncate input")
     b.add_argument("-r", "--reps", type=int, default=1)
     b.add_argument("--json", help="write results as JSON to this path")
+    b.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace of the sweep to DIR")
     b.set_defaults(fn=cmd_bench)
 
     c = sub.add_parser("c", help="compress")

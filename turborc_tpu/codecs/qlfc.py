@@ -15,12 +15,14 @@ TPU-native redesign:
         (measured: static conditional entropy of ranks is ~19-23% of
         input while the reference hits 27.7% TOTAL only through
         adaptation, bench notes round 2).
-        run lengths -> Turbo-VLC exponent/mantissa over adaptive CDF16
-        (codecs/rans_vlc, W=32), matching the reference's gamma-coded
-        runs (rcqlfc_.c:74).
+        run lengths -> adaptive gamma coder (codecs/intcodecs), the
+        reference's own choice for QLFC runs (rcqlfc_.c:74); element
+        width 16/32-bit picked from the block's max run and recorded
+        in the payload (runs-1 are mostly 0 on BWT text - gamma's
+        single zero-flag symbol beats the VLC nibble machinery ~4x).
 
-Payload: u64 m (run count) + u32 len(rank payload) + rank payload +
-run-length payload.
+Payload: u64 m (run count) + u32 len(rank payload) + u8 run element
+size + rank payload + run-length payload.
 """
 from __future__ import annotations
 
@@ -28,14 +30,25 @@ import struct
 
 import numpy as np
 
-from turborc_tpu.codecs import rans_cdf_o0, rans_cdf_s8, rans_vlc
+from turborc_tpu.codecs import intcodecs, rans_cdf_o0, rans_cdf_s8
 from turborc_tpu.host import native
 
-_RUN_ENC, _RUN_DEC = rans_vlc.make_block_api(4)
+_RUN_API = {2: intcodecs.make_block_api("gamma", 2),
+            4: intcodecs.make_block_api("gamma", 4)}
 
 # rank-stream stage: the share-span codec pays fixed warm-table overhead
 # and strides runs across lanes - a win at scale, a loss on small blocks
 _S8_MIN = 1 << 20
+
+
+def _lanes_for(m: int, lanes: int) -> int:
+    """Scale the lane count to the run count: small blocks want LONG
+    per-lane streams (the adaptive models pay a per-lane warm-up ramp
+    and a 2-word flush), large blocks want the full lane parallelism.
+    Targets >= ~256 elements per lane; both sides derive it from m,
+    which rides in the payload header."""
+    want = 1 << max(5, (m // 256).bit_length())
+    return max(32, min(lanes, want))
 
 
 def run_split(data: np.ndarray):
@@ -56,28 +69,37 @@ def encode_block(data: np.ndarray, lanes: int = 2048,
     ranks = native.mtf(heads)
     big = m >= _S8_MIN
     stage = rans_cdf_s8 if big else rans_cdf_o0
-    rank_pay = stage.encode_block(ranks, lanes=lanes,
+    lanes_eff = lanes if big else _lanes_for(m, lanes)
+    rank_pay = stage.encode_block(ranks, lanes=lanes_eff,
                                   step_quant=step_quant)
-    # run lengths as (runlen - 1), little-endian u32 elements
-    rl = (runlens - 1).astype("<u4").view(np.uint8)
-    run_pay = _RUN_ENC(rl, lanes=lanes, step_quant=step_quant)
-    return (struct.pack("<QI", m, len(rank_pay)) + rank_pay + run_pay)
+    # run lengths as (runlen - 1), element width from the max run
+    esz = 2 if (m == 0 or int(runlens.max()) - 1 < (1 << 16)) else 4
+    rl = (runlens - 1).astype(f"<u{esz}").view(np.uint8)
+    run_pay = _RUN_API[esz][0](rl, lanes=_lanes_for(m, lanes),
+                               step_quant=step_quant)
+    return (struct.pack("<QIB", m, len(rank_pay), esz)
+            + rank_pay + run_pay)
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 2048,
                  step_quant: int = 64, **_unused) -> np.ndarray:
-    if len(payload) < 12:
+    if len(payload) < 13:
         raise ValueError("corrupt payload: truncated qlfc header")
-    m, rank_len = struct.unpack_from("<QI", payload)
+    m, rank_len, esz = struct.unpack_from("<QIB", payload)
+    if esz not in _RUN_API:
+        raise ValueError("corrupt payload: bad qlfc run element size")
     if n == 0:
         return np.zeros(0, np.uint8)
-    body = payload[12:]
-    stage = rans_cdf_s8 if m >= _S8_MIN else rans_cdf_o0
+    body = payload[13:]
+    big = m >= _S8_MIN
+    stage = rans_cdf_s8 if big else rans_cdf_o0
+    lanes_eff = lanes if big else _lanes_for(m, lanes)
     ranks = stage.decode_block(bytes(body[:rank_len]), m,
-                               lanes=lanes, step_quant=step_quant)
-    rl = _RUN_DEC(bytes(body[rank_len:]), 4 * m, lanes=lanes,
-                  step_quant=step_quant)
-    runlens = rl.view("<u4").astype(np.int64) + 1
+                               lanes=lanes_eff, step_quant=step_quant)
+    rl = _RUN_API[esz][1](bytes(body[rank_len:]), esz * m,
+                          lanes=_lanes_for(m, lanes),
+                          step_quant=step_quant)
+    runlens = rl.view(f"<u{esz}").astype(np.int64) + 1
     if runlens.sum() != n:
         raise ValueError("corrupt payload: qlfc run lengths do not sum")
     heads = native.unmtf(ranks)

@@ -125,8 +125,11 @@ def finish_encode(rec: Recorder):
 
 
 def bitlen(v: jnp.ndarray, width: int) -> jnp.ndarray:
-    """floor(log2(v)) + 1 for v >= 1, 0 for v == 0 (compare-count form)."""
+    """floor(log2(v)) + 1 for v >= 1, 0 for v == 0 (compare-count form).
+
+    The threshold literal must be typed: a bare python ``1 << 31``
+    overflows JAX's int32 scalar canonicalization at width=32."""
     acc = jnp.zeros_like(v)
     for k in range(width):
-        acc = acc + (v >= (1 << k)).astype(v.dtype)
+        acc = acc + (v >= v.dtype.type(1 << k)).astype(v.dtype)
     return acc
