@@ -43,17 +43,56 @@ def markov_text(n: int, seed: int = 0xBEEF) -> np.ndarray:
     return alpha[out]
 
 
+def real_source_text(n: int) -> np.ndarray:
+    """Real (non-synthetic) text: concatenated installed-package Python
+    sources plus the reference tree's C sources, truncated to n bytes.
+
+    The COMMITTED _data file is the canonical corpus (the set of
+    installed sources is machine-dependent); this generator only seeds
+    it once.  Addresses the round-1 review's 'synthetic-only corpus'
+    weakness: ratio claims get a real-text BWT alongside the Markov one."""
+    import sysconfig
+    roots = [pathlib.Path(sysconfig.get_paths()["purelib"]),
+             pathlib.Path("/root/reference")]
+    parts, total = [], 0
+    for root in roots:
+        if not root.exists():
+            continue
+        pats = ("*.py",) if "reference" not in str(root) else ("*.c", "*.h")
+        for pat in pats:
+            for p in sorted(root.rglob(pat)):
+                try:
+                    b = p.read_bytes()
+                except OSError:
+                    continue
+                parts.append(np.frombuffer(b, np.uint8))
+                total += len(b)
+                if total >= n:
+                    break
+            if total >= n:
+                break
+        if total >= n:
+            break
+    if total < n:
+        raise ValueError(f"only {total} real source bytes available")
+    return np.concatenate(parts)[:n]
+
+
 def get(name: str, n: int) -> np.ndarray:
-    """Cached deterministic corpus: 'text' or 'textbwt'."""
+    """Cached deterministic corpus: 'text'/'textbwt' (synthetic Markov)
+    or 'realsrc'/'realsrcbwt' (real source text; committed file is
+    canonical)."""
     _CACHE.mkdir(exist_ok=True)
     path = _CACHE / f"{name}_{n}.bin"
     if path.exists():
         return np.fromfile(path, np.uint8)
     if name == "text":
         data = markov_text(n)
-    elif name == "textbwt":
+    elif name == "realsrc":
+        data = real_source_text(n)
+    elif name.endswith("bwt"):
         from turborc_tpu.host import native
-        text = get("text", n)
+        text = get(name[:-3], n)
         data, _ = native.bwt(text)
     else:
         raise ValueError(name)
