@@ -158,18 +158,46 @@ rc_sf_encode, rc_sf_decode = _make_block_api(0, "sf")
 rcc_sf_encode, rcc_sf_decode = _make_block_api(1, "sf")
 
 
+# ansb codes 64KB sub-blocks regardless of the container block size:
+# with only 4 lanes, a large block overflows the u16 per-lane stream
+# length field, and 64KB x 4 states IS the reference design point.
+_ANSB_BLK = 1 << 16
+
+
 def ansb_encode(data, lanes=4, **kw):
     """Bitwise ANS at the reference's design point (ansbc, anscdf.c:
-    669-705): 4 interleaved binary-rANS states over an o0 tree model.
-    Our lanes ARE the interleaved states; lanes is pinned to 4."""
+    669-705): 4 interleaved binary-rANS states over an o0 tree model,
+    64KB sub-blocks.  Our lanes ARE the interleaved states.
+    Sub-payloads are u32-length framed."""
+    import struct
     kw.pop("step_quant", None)
-    return _make_block_api(0, "s")[0](data, lanes=4, step_quant=256, **kw)
+    enc = _make_block_api(0, "s")[0]
+    out = []
+    for off in range(0, max(data.shape[0], 1), _ANSB_BLK):
+        pay = enc(data[off:off + _ANSB_BLK], lanes=4, step_quant=256, **kw)
+        out.append(struct.pack("<I", len(pay)) + pay)
+    return b"".join(out)
 
 
 def ansb_decode(payload, n, lanes=4, **kw):
+    import struct
     kw.pop("step_quant", None)
-    return _make_block_api(0, "s")[1](payload, n, lanes=4, step_quant=256,
-                                      **kw)
+    dec = _make_block_api(0, "s")[1]
+    out, off, left = [], 0, n
+    while left > 0:
+        if off + 4 > len(payload):
+            raise ValueError("corrupt payload: truncated ansb sub-block")
+        ln = struct.unpack_from("<I", payload, off)[0]
+        off += 4
+        if off + ln > len(payload):
+            raise ValueError("corrupt payload: ansb sub-block overruns")
+        m = min(_ANSB_BLK, left)
+        out.append(dec(bytes(payload[off:off + ln]), m, lanes=4,
+                       step_quant=256, **kw))
+        off += ln
+        left -= m
+    return (np.concatenate(out) if out
+            else np.zeros(0, np.uint8))
 
 
 def rcc2_encode(data, lanes=16, **kw):
