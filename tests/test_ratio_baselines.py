@@ -1,0 +1,61 @@
+"""Ratio regressions vs the reference binary on identical bytes.
+
+The reference TurboRC binary was built on a bench host
+(bench/build_reference.sh) and run on the committed real-source BWT
+corpus; its ratios are pinned in
+bench/_baseline/ref_realsrcbwt512k.json.  Each repo codec must stay
+within a per-family margin of the reference's compressed size ON THE
+SAME BYTES (VERDICT round-1 task 2: "ratio regressions fail tests";
+margins start loose and ratchet down as the families improve).
+
+Ratios are deterministic (same code + same bytes), so a failure here is
+a real behavior change, not noise.  lanes=64 keeps the per-lane
+adaptation ramp representative at this 512KB size.
+"""
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from turborc_tpu import CodecConfig, compress
+
+_BENCH = pathlib.Path(__file__).parent.parent / "turborc_tpu" / "bench"
+
+# codec -> (reference id, margin: repo_size <= ref_size * margin)
+MARGINS = {
+    "rans-static": (42, 1.02),
+    "rans-cdf-o0": (46, 1.05),
+    "rc-o0": (1, 1.08),
+    "rcr-8": (28, 1.08),
+    "rcrle": (13, 1.09),
+    "rcu3": (17, 1.09),
+    "rcg-8": (26, 1.10),
+    "rcqlfc": (18, 1.15),
+}
+
+
+@pytest.fixture(scope="module")
+def slice512k():
+    p = _BENCH / "_data" / "realsrcbwt_16777216.bin"
+    return np.fromfile(p, np.uint8, count=512 << 10)
+
+
+@pytest.fixture(scope="module")
+def ref_rows():
+    p = _BENCH / "_baseline" / "ref_realsrcbwt512k.json"
+    return {r["id"]: r for r in json.loads(p.read_text())["rows"]}
+
+
+@pytest.mark.parametrize("codec", sorted(MARGINS))
+def test_ratio_vs_reference(slice512k, ref_rows, codec):
+    rid, margin = MARGINS[codec]
+    ref = ref_rows[rid]
+    blob = compress(slice512k, CodecConfig(
+        codec=codec, lanes=64, block_size=slice512k.shape[0],
+        step_quant=64))
+    ratio = len(blob) / slice512k.shape[0]
+    assert ratio <= ref["ratio"] * margin, (
+        f"{codec}: {ratio:.4f} vs reference {ref['name']} "
+        f"(id {rid}) {ref['ratio']:.4f} on identical bytes "
+        f"(margin {margin})")
