@@ -23,6 +23,33 @@ def test_bec_compresses_runs(corpora):
     assert len(blob) < data.shape[0]
 
 
+def test_bec_wavelet_roundtrip_and_wins(corpora):
+    """bec-w: prefix-permuted planes must round-trip and beat the
+    independent-plane bec on skewed data (the inter-plane mutual
+    information it exists to capture)."""
+    data = corpora["skewed"][:8192]
+    cfgs = {name: CodecConfig(codec=name, lanes=8, block_size=1 << 13,
+                              step_quant=256) for name in ("bec", "bec-w")}
+    blob_w = compress(data, cfgs["bec-w"])
+    assert decompress(blob_w) == data.tobytes()
+    assert len(blob_w) < len(compress(data, cfgs["bec"]))
+
+
+def test_bec_wide_segment_roundtrip(rng):
+    """K >= 2^17 regression: constraint intervals wider than 2^16 used
+    to get truncated code widths (_bitlen_ceil capped at 16 steps) and
+    the packer undersized its word buffer, silently corrupting every
+    block with >= 2^17 symbols per lane."""
+    data = np.repeat(rng.integers(0, 8, 2048).astype(np.uint8),
+                     rng.integers(1, 513, 2048))[:4 << 17]
+    assert data.shape[0] == 4 << 17
+    for codec in ("bec", "bec-w"):
+        cfg = CodecConfig(codec=codec, lanes=4, block_size=1 << 20,
+                          step_quant=256)
+        blob = compress(data, cfg)
+        assert decompress(blob) == data.tobytes()
+
+
 def test_fsm_codec_roundtrip(corpora):
     data = corpora["text"][:4000]
     cfg = CodecConfig(codec="rcc-o1-sf", lanes=8, block_size=1 << 13,

@@ -32,20 +32,27 @@ from turborc_tpu.codecs import blockio
 
 
 def _bitlen_ceil(m):
-    """ceil(log2(m)) for m >= 1: number of k with 2^k < m."""
+    """ceil(log2(m)) for m >= 1: number of k with 2^k < m.
+
+    Covers m up to 2^24: constraint intervals scale with the segment
+    size, and a 16-step loop silently truncated code widths for
+    m > 2^16 (i.e. blocks with K >= 2^17)."""
     acc = jnp.zeros_like(m)
-    for k in range(16):
+    for k in range(24):
         acc = acc + ((1 << k) < m).astype(m.dtype)
     return acc
 
 
-def _pack(values, nbits):
+def _pack(values, nbits, maxw: int = 16):
     """Pack per-slot values (flat, slot order) into a u32 word array.
 
-    values/nbits int32 [N]; returns (words uint32 [W], total_bits)."""
+    values/nbits int32 [N]; returns (words uint32 [W], total_bits).
+    maxw bounds the widest field: root/phase-in widths grow with the
+    segment size, so callers pass ~K.bit_length() (a 16-bit assumption
+    silently truncated the stream at K >= 2^16)."""
     offs = jnp.cumsum(nbits) - nbits
     total = offs[-1] + nbits[-1] if nbits.shape[0] else jnp.int32(0)
-    W = values.shape[0] // 2 + 2  # nbits <= 16 => <= 16N bits <= 32*(N/2+1)
+    W = values.shape[0] * maxw // 32 + 2
     v = values.astype(jnp.uint32)
     sh = (offs & 31).astype(jnp.uint32)
     w = offs >> 5
@@ -114,7 +121,8 @@ def encode_device(block: jnp.ndarray, K: int, planes: int = 8):
                                              m.reshape(-1))
         vals += [pre, ext]
         bitws += [wpre, wext]
-    return _pack(jnp.concatenate(vals), jnp.concatenate(bitws))
+    return _pack(jnp.concatenate(vals), jnp.concatenate(bitws),
+                 maxw=max(16, K.bit_length() + 1))
 
 
 @functools.partial(jax.jit, static_argnames=("K", "L", "planes"))
@@ -203,3 +211,85 @@ def _to_u16(data: np.ndarray) -> np.ndarray:
 
 encode_block, decode_block = _make_block_api(1)
 encode_block16, decode_block16 = _make_block_api(2)
+
+
+# ---------------------------------------------------------------------------
+# bec-w: wavelet-conditioned planes.  Independent bit-planes (above) lose
+# the mutual information BETWEEN planes - measured 1.73x the reference
+# bec's size on real BWT text (BENCH_REAL_r02.json), where the
+# reference's M99 conditions on symbol identity.  Here plane b's bits
+# are stably permuted by each position's b-bit prefix (planes are
+# MSB-first), so the binary count hierarchy codes P(bit_b | prefix)
+# within contiguous prefix groups: summed over planes that reaches the
+# byte-conditional entropy (a wavelet tree with M99 as the node coder),
+# while stable order preserves position locality inside each group.
+# The decoder reconstructs the identical permutation from the planes it
+# has already decoded, so plane streams are framed individually.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("K", "b"))
+def _plane_perm_enc(block, K, b):
+    """(permuted bits of plane b, nothing else): stable sort by the
+    b-bit prefix per lane row."""
+    bit = (block >> (7 - b)) & 1
+    if b == 0:
+        return bit
+    prefix = block >> (8 - b)
+    perm = jnp.argsort(prefix, axis=1, stable=True)
+    return jnp.take_along_axis(bit, perm, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "b"))
+def _plane_unperm_dec(acc, bits_perm, K, b):
+    """Scatter plane b's decoded (permuted) bits back and OR into acc."""
+    if b == 0:
+        bit = bits_perm
+    else:
+        prefix = acc >> (8 - b)
+        perm = jnp.argsort(prefix, axis=1, stable=True)
+        L = acc.shape[0]
+        rows = jnp.arange(L, dtype=jnp.int32)[:, None]
+        bit = jnp.zeros_like(acc).at[rows, perm].set(bits_perm)
+    return acc | (bit << (7 - b))
+
+
+def encode_block_w(data: np.ndarray, lanes: int = 64,
+                   step_quant: int = 1024, **_unused) -> bytes:
+    n = data.shape[0]
+    K = max(step_quant,
+            1 << int(np.ceil(np.log2(max(-(-n // lanes), 1)))))
+    padded = np.zeros(lanes * K, np.uint8)
+    padded[:n] = data
+    block = jnp.asarray(padded.reshape(lanes, K).astype(np.int32))
+    out = []
+    for b in range(8):
+        bits = _plane_perm_enc(block, K, b)
+        words, total = encode_device(bits, K, 1)
+        nw = (int(total) + 31) // 32
+        out.append(int(total).to_bytes(8, "little")
+                   + np.asarray(words)[:nw].astype("<u4").tobytes())
+    return b"".join(len(p).to_bytes(4, "little") + p for p in out)
+
+
+def decode_block_w(payload: bytes, n: int, lanes: int = 64,
+                   step_quant: int = 1024, **_unused) -> np.ndarray:
+    K = max(step_quant,
+            1 << int(np.ceil(np.log2(max(-(-n // lanes), 1)))))
+    acc = jnp.zeros((lanes, K), jnp.int32)
+    off = 0
+    for b in range(8):
+        if off + 4 > len(payload):
+            raise ValueError("corrupt payload: truncated bec-w plane")
+        ln = int.from_bytes(payload[off:off + 4], "little")
+        off += 4
+        sub = payload[off:off + ln]
+        if len(sub) != ln or ln < 8:
+            raise ValueError("corrupt payload: bec-w plane overruns")
+        off += ln
+        total = int.from_bytes(sub[:8], "little")
+        words = np.zeros(((total + 31) // 32) + 2, np.uint32)
+        raw = np.frombuffer(sub[8:], "<u4")
+        words[:raw.shape[0]] = raw
+        bits = decode_device(jnp.asarray(words), K, lanes, 1)
+        acc = _plane_unperm_dec(acc, bits, K, b)
+    return np.asarray(acc).reshape(-1)[:n].astype(np.uint8)

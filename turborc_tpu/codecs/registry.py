@@ -179,6 +179,9 @@ def _lazy_init():
              "codes (ref id 19)")
     register(119, "bec-16", bec.encode_block16, bec.decode_block16,
              "bec over 16-bit symbols (ref bec16, bec_b.c:84-88)")
+    register(21, "bec-w", bec.encode_block_w, bec.decode_block_w,
+             "wavelet-conditioned bec: plane bits permuted by symbol "
+             "prefix, M99 hierarchy per plane (byte-conditional entropy)")
     from turborc_tpu.codecs import qlfc
     register(18, "rcqlfc", qlfc.encode_block, qlfc.decode_block,
              "QLFC: run-split MTF ranks + adaptive CDF16 rank stage + "
