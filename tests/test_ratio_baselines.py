@@ -31,6 +31,7 @@ MARGINS = {
     "rcrle": (13, 1.09),
     "rcu3": (17, 1.09),
     "rcg-8": (26, 1.10),
+    "bec-w": (19, 1.12),
     "rcqlfc": (18, 1.15),
 }
 
