@@ -22,7 +22,11 @@ TPU-native redesign:
         single zero-flag symbol beats the VLC nibble machinery ~4x).
 
 Payload: u64 m (run count) + u32 len(rank payload) + u8 run element
-size + rank payload + run-length payload.
+size + u8 rank stage id (0 = per-lane CDF16, 1 = share-span s8) +
+rank payload + run-length payload.  The share-span stage wins on
+low-run data at scale but loses its striding cost on runny data
+(BENCH_REAL_r02.json), so the encoder picks per block from the average
+run length and records the choice.
 """
 from __future__ import annotations
 
@@ -67,7 +71,9 @@ def encode_block(data: np.ndarray, lanes: int = 2048,
     heads, runlens = run_split(data)
     m = heads.shape[0]
     ranks = native.mtf(heads)
-    big = m >= _S8_MIN
+    # share-span stage only at scale AND on low-run data (its strided
+    # format pays ~6% on the rank stream when runs are long)
+    big = m >= _S8_MIN and data.shape[0] < 2.5 * m
     stage = rans_cdf_s8 if big else rans_cdf_o0
     lanes_eff = lanes if big else _lanes_for(m, lanes)
     rank_pay = stage.encode_block(ranks, lanes=lanes_eff,
@@ -77,21 +83,20 @@ def encode_block(data: np.ndarray, lanes: int = 2048,
     rl = (runlens - 1).astype(f"<u{esz}").view(np.uint8)
     run_pay = _RUN_API[esz][0](rl, lanes=_lanes_for(m, lanes),
                                step_quant=step_quant)
-    return (struct.pack("<QIB", m, len(rank_pay), esz)
+    return (struct.pack("<QIBB", m, len(rank_pay), esz, int(big))
             + rank_pay + run_pay)
 
 
 def decode_block(payload: bytes, n: int, lanes: int = 2048,
                  step_quant: int = 64, **_unused) -> np.ndarray:
-    if len(payload) < 13:
+    if len(payload) < 14:
         raise ValueError("corrupt payload: truncated qlfc header")
-    m, rank_len, esz = struct.unpack_from("<QIB", payload)
-    if esz not in _RUN_API:
-        raise ValueError("corrupt payload: bad qlfc run element size")
+    m, rank_len, esz, big = struct.unpack_from("<QIBB", payload)
+    if esz not in _RUN_API or big > 1:
+        raise ValueError("corrupt payload: bad qlfc header fields")
     if n == 0:
         return np.zeros(0, np.uint8)
-    body = payload[13:]
-    big = m >= _S8_MIN
+    body = payload[14:]
     stage = rans_cdf_s8 if big else rans_cdf_o0
     lanes_eff = lanes if big else _lanes_for(m, lanes)
     ranks = stage.decode_block(bytes(body[:rank_len]), m,
