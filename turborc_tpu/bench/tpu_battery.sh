@@ -72,4 +72,15 @@ run cli_table16 5400 -- python -m turborc_tpu.cli --lanes 8192 \
   --block-size 16777216 bench /tmp/textbwt16.bin \
   -i rans-cdf-s8,rans-cdf-o0-p,rc-p -r 2 --json "$OUT/cli_table16.json"
 
+# 5. real corpus: kernel codecs, then the level-parallel bec family
+# (bec wants long lanes: 64 x 256K symbols)
+run cli_real16 5400 -- python -m turborc_tpu.cli --lanes 8192 \
+  --block-size 16777216 bench \
+  turborc_tpu/bench/_data/realsrcbwt_16777216.bin \
+  -i rans-cdf-o0-p,rc-p -r 2 --json "$OUT/cli_real16.json"
+run cli_real16_bec 5400 -- python -m turborc_tpu.cli --lanes 64 \
+  --block-size 16777216 --step-quant 1024 bench \
+  turborc_tpu/bench/_data/realsrcbwt_16777216.bin \
+  -i bec,bec-w -r 2 --json "$OUT/cli_real16_bec.json"
+
 echo "battery done" | tee -a "$OUT/log"
