@@ -38,6 +38,40 @@ print("interpret kernel roundtrip ok", len(pay_xla))
 """
 
 
+_SCRIPT_R1 = r"""
+import numpy as np
+from turborc_tpu.ops.pallas import rans_kernel as K_
+from turborc_tpu.codecs import rans_pallas_r1 as RP1
+
+assert K_.GROUPS == 2 and K_.CHUNK == 2 and K_.INTERPRET
+rng = np.random.default_rng(11)
+K = 3 * K_.CHUNK  # 3 grid steps: carry + window slide + refill + prev chain
+n = K_.LANES * K - 5
+# order-1-structured bytes: strong prev->cur coupling exercises the ctx path
+a = rng.choice(12, 2 * n, p=np.r_[0.4, np.full(11, 0.6 / 11)])
+data = (np.repeat(a, rng.integers(1, 4, a.size))[:n] + 97).astype(np.uint8)
+
+pay_xla = RP1.encode_block(data, use_pallas_encoder=False)
+out = RP1.decode_block(pay_xla, n)
+assert np.array_equal(out, data), "o1 decode-kernel roundtrip vs XLA encoder"
+
+pay_pal = RP1.encode_block(data, use_pallas_encoder=True)
+assert pay_pal == pay_xla, "o1 pallas encode pipeline != XLA twin payload"
+print("interpret o1 kernel roundtrip ok", len(pay_xla))
+"""
+
+
+def test_o1_kernel_interpret_roundtrip():
+    env = dict(os.environ)
+    env.update(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SYNC="2", TRC_LSYNC="4",
+               TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", _SCRIPT_R1], env=env,
+                       capture_output=True, text=True, timeout=3600,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, f"STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}"
+    assert "interpret o1 kernel roundtrip ok" in r.stdout
+
+
 @pytest.mark.parametrize("share", ["8", "1"])
 def test_decode_kernel_interpret_roundtrip(share):
     env = dict(os.environ)

@@ -33,6 +33,9 @@ MARGINS = {
     "rcg-8": (26, 1.10),
     "bec-w": (19, 1.12),
     "rcqlfc": (18, 1.15),
+    # order-1 flagship vs the reference's own o1 on identical bytes
+    # (measured 1.009 at lanes=64 on this slice)
+    "rans-cdf-r1": (64, 1.03),
 }
 
 

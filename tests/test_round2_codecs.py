@@ -83,6 +83,21 @@ def test_subbyte_trees(rng, w):
     assert len(blob) < data.shape[0]
 
 
+@pytest.mark.parametrize("w", [10, 12])
+def test_superbyte_trees(rng, w):
+    """10/12-bit tree models (ref mb_o0.h:44-248 n-bit family)."""
+    from turborc_tpu.codecs import registry
+    registry._lazy_init()
+    c = registry.get(f"rc{w}b")
+    elems = np.clip(rng.geometric(0.01, 4000) - 1, 0,
+                    (1 << w) - 1).astype(np.uint16)
+    pay = c.encode_block(elems, lanes=64, step_quant=8)
+    out = c.decode_block(pay, elems.shape[0], lanes=64, step_quant=8)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, elems)
+    assert len(pay) < 2 * elems.shape[0]
+
+
 @pytest.mark.parametrize("codec", ["rans-v16-b1", "rans-v16-b5"])
 def test_vlc_base_sweep(rng, codec):
     vals = rng.gamma(1.2, 60, 3000).astype("<u2")

@@ -19,7 +19,7 @@ def _as_bytes_array(data) -> np.ndarray:
 # Share-span family: payload layout depends on the SHARE/SYNC model
 # geometry (TRC_SHARE/TRC_SYNC), so it rides in the header flags byte and
 # is validated at decode - containers stay self-describing.
-_SPAN_CODECS = ("rans-cdf-s8", "rans-cdf-o0-p")
+_SPAN_CODECS = ("rans-cdf-s8", "rans-cdf-o0-p", "rans-auto")
 
 
 def _span_geometry() -> tuple[int, int, int]:

@@ -24,6 +24,7 @@ PAIRS = {
     "rans-cdf-s8": (56, 8192),
     "rans-cdf-o0": (46, 512),
     "rans-cdf-o1": (64, 128),
+    "rans-cdf-r1": (64, 8192),
     "rans-static": (42, 512),
     "rc-o0": (1, 512),
     "rcc-o1": (2, 512),

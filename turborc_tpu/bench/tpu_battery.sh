@@ -35,6 +35,38 @@ run lat_g128_s4_l32 3600 TRC_GROUPS=128 TRC_SYNC=4 TRC_LSYNC=32 \
 run lat_g64_s4_l8 3600 TRC_GROUPS=64 TRC_SYNC=4 TRC_LSYNC=8 \
   -- python -m turborc_tpu.bench.kernel_lat 64
 
+# 2b. order-1 kernels (no sync butterflies; contiguous spans)
+run lat_o1_g64 3600 TRC_GROUPS=64 \
+  -- python -m turborc_tpu.bench.kernel_lat 64 o1
+run lat_o1_g32 3600 TRC_GROUPS=32 \
+  -- python -m turborc_tpu.bench.kernel_lat 64 o1
+# order-1 end-to-end ratio+throughput on the real corpus (codec id 60)
+run o1_real16 5400 -- python - <<'EOF'
+import json, time
+import numpy as np
+from turborc_tpu.codecs import rans_pallas_r1 as P1
+n = 16 << 20
+data = np.fromfile("turborc_tpu/bench/_data/realsrcbwt_16777216.bin",
+                   np.uint8)[:n]
+pay = P1.encode_block(data)
+out = P1.decode_block(pay, n)
+ok = bool(np.array_equal(out, data))
+reps = 2
+variants = [np.roll(data, 1 + 7 * i) for i in range(1, reps + 1)]
+t0 = time.perf_counter()
+pays = [P1.encode_block(v) for v in variants]
+enc_s = (time.perf_counter() - t0) / reps
+t0 = time.perf_counter()
+for p in pays:
+    P1.decode_block(p, n)
+dec_s = (time.perf_counter() - t0) / reps
+print(json.dumps({"codec": "rans-cdf-r1-p", "mb": 16,
+                  "ratio": len(pay) / n,
+                  "enc_mbs": round(n / enc_s / 1e6, 1),
+                  "dec_mbs": round(n / dec_s / 1e6, 1),
+                  "roundtrip_ok": ok}))
+EOF
+
 # 3. rc-p bit-tree kernel throughput + ratio on the bench corpus
 run rc_tree_lat 3600 -- python - <<'EOF'
 import json, time

@@ -121,9 +121,8 @@ def pack_codes(codes: np.ndarray) -> bytes:
             + bytes(esc))
 
 
-def unpack_codes(buf: bytes, G: int):
-    """Inverse of pack_codes; returns (codes [G,272] u8, bytes consumed)."""
-    n_entries = 272
+def unpack_codes(buf: bytes, G: int, n_entries: int = 272):
+    """Inverse of pack_codes; returns (codes [G,n_entries] u8, consumed)."""
     esc_len = int.from_bytes(buf[:4], "little")
     off = 4
     codes = np.zeros((G, n_entries), np.int32)

@@ -1,0 +1,100 @@
+"""Auto-dispatching flagship (id 61): pick the operating point per block.
+
+Round-2 measured a clean split between the two flagship designs on
+identical hardware and bytes:
+
+  * share-span o0 (rans-cdf-s8 / rans-cdf-o0-p): best on short-run data
+    (synthetic textbwt, avg run 1.55 - ties the reference ans there) but
+    its strided spans lose burst adaptation on long-run data (1.25x ref
+    on realsrcbwt, avg run 5.0).
+  * contiguous order-1 (rans-cdf-r1[-p]): best on run-structured real
+    data (18.99% vs ref o0's 20.96% on realsrcbwt16) but pays its o1
+    table adaptation for nothing on near-order-0 short-run data (the
+    reference's own o1 loses to its o0 there: 27.81 vs 27.32).
+
+The dispatch statistic is a HELD-OUT cross-entropy gain with the exact
+context r1 uses (rank-quantized previous byte): per 64KB sample window,
+train p(cur | min(prev_rank,15)) and p(cur) on the first half and
+evaluate both on the second half.  Split-half evaluation is what makes
+the statistic honest - raw plug-in conditional entropy at these window
+sizes is wildly biased (an iid window shows a fake 2+ bit/B "gain"),
+and block-local adaptation already captures global nonstationarity that
+whole-corpus bigram stats would miscount as order-1 structure (the
+synthetic textbwt corpus shows 0.97 bit/B globally yet the reference's
+own o1 loses to its o0 there).  Gain >= 0.2 bits/B -> order-1 arm.
+
+The chosen arm rides in a 1-byte payload tag so containers stay
+self-describing; the Pallas kernel variants are used on TPU backends,
+the XLA twins elsewhere (same payload tag semantics per backend family
+as ids 57/58 and 59/60).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+GAIN_THRESHOLD = 0.2   # bits/byte of held-out order-1 gain
+_WIN = 64 << 10
+_MAX_WINDOWS = 8
+
+_TAG_S8, _TAG_R1 = 0, 1
+
+
+def _impls():
+    import jax
+    if jax.default_backend() != "cpu":
+        from turborc_tpu.codecs import rans_pallas, rans_pallas_r1
+        return rans_pallas, rans_pallas_r1
+    from turborc_tpu.codecs import rans_cdf_r1, rans_cdf_s8
+    return rans_cdf_s8, rans_cdf_r1
+
+
+def _window_gain(d: np.ndarray) -> float:
+    """Held-out bits/byte saved by conditioning on min(prev_rank, 15)."""
+    counts = np.bincount(d, minlength=256)
+    rank = np.zeros(256, np.int64)
+    rank[np.argsort(-counts, kind="stable")] = np.arange(256)
+    r = rank[d]
+    half = d.shape[0] // 2
+    ctx = np.minimum(r[:-1], 15)
+    cur = r[1:]
+    tr_c, tr_x = cur[:half], ctx[:half]
+    te_c, te_x = cur[half:], ctx[half:]
+    o1 = np.zeros((16, 256), np.float64)
+    np.add.at(o1, (tr_x, tr_c), 1)
+    o0 = o1.sum(axis=0)
+    p1 = (o1 + 0.5) / (o1.sum(axis=1, keepdims=True) + 128)
+    p0 = (o0 + 0.5) / (o0.sum() + 128)
+    ce1 = float(-np.log2(p1[te_x, te_c]).mean())
+    ce0 = float(-np.log2(p0[te_c]).mean())
+    return ce0 - ce1
+
+
+def o1_gain(data: np.ndarray) -> float:
+    """Mean held-out order-1 gain over up to 8 64KB sample windows."""
+    n = data.shape[0]
+    if n < 4096:
+        return 0.0  # tiny blocks: table overhead decides, stay order-0
+    wins = max(1, min(_MAX_WINDOWS, n // _WIN))
+    gains = []
+    for w in range(wins):
+        off = (n - min(_WIN, n)) * w // max(wins - 1, 1)
+        gains.append(_window_gain(data[off:off + _WIN]))
+    return float(np.mean(gains))
+
+
+def encode_block(data: np.ndarray, **kw) -> bytes:
+    s8, r1 = _impls()
+    tag = _TAG_R1 if o1_gain(data) >= GAIN_THRESHOLD else _TAG_S8
+    mod = r1 if tag == _TAG_R1 else s8
+    return bytes([tag]) + mod.encode_block(data, **kw)
+
+
+def decode_block(payload: bytes, n: int, **kw) -> np.ndarray:
+    if not payload:
+        raise ValueError("corrupt payload: missing auto-dispatch tag")
+    tag = payload[0]
+    if tag not in (_TAG_S8, _TAG_R1):
+        raise ValueError(f"corrupt payload: bad auto-dispatch tag {tag}")
+    s8, r1 = _impls()
+    mod = r1 if tag == _TAG_R1 else s8
+    return mod.decode_block(payload[1:], n, **kw)

@@ -1,0 +1,238 @@
+"""Order-1 adaptive-CDF rANS with rank-quantized contexts (ids 59/60).
+
+Reference capability: anscdf1 (anscdf.c:607-645, bench id 64) - nibble
+CDFs keyed on the previous byte.  The TPU redesign quantizes the context
+through the frequency-rank remap so the per-lane model fits VMEM (see
+ops/pallas/rans_o1_kernel.py for the wiring and the measured decision
+trail in bench/o1cost.py):
+
+    ctx  = min(prev_rank, 15)        hi | ctx    (16 rows)
+    locx = hi == 0 ? ctx : 16 + hi   lo | locx   (32 rows)
+
+Lanes code CONTIGUOUS spans (no share-span striding - the o1 context
+must be the lane's own previous byte) and the adaptation ramp is paid
+down by per-group conditional warm-start tables carried in the payload.
+
+Two registered codecs:
+  59 rans-cdf-r1    XLA scan twin, per-lane streams (blockio pack)
+  60 rans-cdf-r1-p  Pallas kernel codec, consumption-order group streams
+                    (same model trajectory; payload adds the state seed)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turborc_tpu.codecs import blockio
+from turborc_tpu.models import cdf16
+from turborc_tpu.ops import rans
+
+NCTX = 16
+LROWS = 32
+N_ENTRIES = (NCTX + LROWS) * 16  # warm-table u8 codes per group
+
+
+# ---------------------------------------------------------------------------
+# model scan (XLA twin of the kernel's per-byte step)
+# ---------------------------------------------------------------------------
+
+def _row_get(table, sel):
+    """table [L, R, 16], sel [L, R] one-hot -> [L, 16]."""
+    return jnp.sum(table * sel[:, :, None], axis=1)
+
+
+def _row_put(table, sel, row_old, row_new):
+    return table + (row_new - row_old)[:, None, :] * sel[:, :, None]
+
+
+def _step_model(cdf_hi, cdf_lo, prev, b):
+    """One o1 nibble-pair step.  Returns (cdf_hi, cdf_lo, low_h, fr_h,
+    low_l, fr_l)."""
+    hi, lo = b >> 4, b & 15
+    ctx = jnp.minimum(prev, NCTX - 1)
+    csel = jax.nn.one_hot(ctx, NCTX, dtype=cdf_hi.dtype)
+    hrow = _row_get(cdf_hi, csel)
+    low_h, fr_h = cdf16.lookup(hrow, hi)
+    cdf_hi = _row_put(cdf_hi, csel, hrow, cdf16.update(hrow, low_h))
+    locx = jnp.where(hi == 0, ctx, 16 + hi)
+    lsel = jax.nn.one_hot(locx, LROWS, dtype=cdf_lo.dtype)
+    lrow = _row_get(cdf_lo, lsel)
+    low_l, fr_l = cdf16.lookup(lrow, lo)
+    cdf_lo = _row_put(cdf_lo, lsel, lrow, cdf16.update(lrow, low_l))
+    return cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def model_pass(block: jnp.ndarray, K: int, hi0, lo0):
+    """block [L, K] int32 -> probs [2K, 2(low/freq), L] (encode model)."""
+    cols = block.astype(jnp.int32).T
+
+    def fwd(carry, b):
+        cdf_hi, cdf_lo, prev = carry
+        cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = _step_model(
+            cdf_hi, cdf_lo, prev, b)
+        return (cdf_hi, cdf_lo, b), jnp.stack(
+            [jnp.stack([low_h, fr_h]), jnp.stack([low_l, fr_l])])
+
+    L = block.shape[0]
+    init = (hi0, lo0, jnp.zeros((L,), jnp.int32))
+    _, probs = jax.lax.scan(fwd, init, cols)
+    return probs.reshape(2 * K, 2, L)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def encode_device(block: jnp.ndarray, K: int, hi0, lo0):
+    probs = model_pass(block, K, hi0, lo0)
+    words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
+    return rans.stitch(words, emit, state)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def decode_device(streams: jnp.ndarray, K: int, hi0, lo0):
+    L = streams.shape[0]
+    state, pos = rans.dec_init(streams)
+
+    def dec(carry, _):
+        cdf_hi, cdf_lo, prev, state, pos = carry
+        ctx = jnp.minimum(prev, NCTX - 1)
+        csel = jax.nn.one_hot(ctx, NCTX, dtype=cdf_hi.dtype)
+        hrow = _row_get(cdf_hi, csel)
+        value = (state & rans.MASK15).astype(jnp.int32)
+        hi, low_h, fr_h = cdf16.search(hrow, value)
+        state = rans.dec_update(state, low_h, fr_h)
+        cdf_hi = _row_put(cdf_hi, csel, hrow, cdf16.update(hrow, low_h))
+        state, pos = rans.dec_renorm(state, streams, pos)
+
+        locx = jnp.where(hi == 0, ctx, 16 + hi)
+        lsel = jax.nn.one_hot(locx, LROWS, dtype=cdf_lo.dtype)
+        lrow = _row_get(cdf_lo, lsel)
+        value = (state & rans.MASK15).astype(jnp.int32)
+        lo, low_l, fr_l = cdf16.search(lrow, value)
+        state = rans.dec_update(state, low_l, fr_l)
+        cdf_lo = _row_put(cdf_lo, lsel, lrow, cdf16.update(lrow, low_l))
+        state, pos = rans.dec_renorm(state, streams, pos)
+        b = (hi << 4) | lo
+        return (cdf_hi, cdf_lo, b, state, pos), b
+
+    hi0 = jnp.asarray(hi0, jnp.int32)
+    lo0 = jnp.asarray(lo0, jnp.int32)
+    init = (hi0, lo0, jnp.zeros((L,), jnp.int32), state, pos)
+    _, bytes_t = jax.lax.scan(dec, init, None, length=K)
+    return bytes_t.T
+
+
+# ---------------------------------------------------------------------------
+# conditional warm-start tables
+# ---------------------------------------------------------------------------
+
+def o1_counts(seg: np.ndarray):
+    """Conditional nibble counts of a (remapped) byte segment:
+    (hi|ctx [NCTX,16], lo|locx [LROWS,16]).  The prev chain is taken over
+    the flat segment (lane-boundary contexts are a negligible fraction
+    and only affect table quality, not correctness)."""
+    s = seg.astype(np.int32)
+    prev = np.concatenate([[0], s[:-1]])
+    hi, lo = s >> 4, s & 15
+    ctx = np.minimum(prev, NCTX - 1)
+    hc = np.zeros((NCTX, 16), np.int64)
+    np.add.at(hc, (ctx, hi), 1)
+    lcx = np.where(hi == 0, ctx, 16 + hi)
+    lc = np.zeros((LROWS, 16), np.int64)
+    np.add.at(lc, (lcx, lo), 1)
+    return hc, lc
+
+
+def group_tables(padded: np.ndarray, G: int):
+    """Per-group conditional warm freq tables ([G,NCTX,16], [G,LROWS,16])."""
+    per = padded.shape[0] // G
+    his, los = [], []
+    for g in range(G):
+        hc, lc = o1_counts(padded[g * per:(g + 1) * per])
+        his.append(blockio.quantize_freqs(hc))
+        los.append(blockio.quantize_freqs(lc))
+    return np.stack(his), np.stack(los)
+
+
+def quantize_tables(hi_f: np.ndarray, lo_f: np.ndarray):
+    """freqs -> (codes [G,N_ENTRIES] u8, dequantized tables)."""
+    G = hi_f.shape[0]
+    codes = np.concatenate(
+        [blockio._freq_code(hi_f).reshape(G, NCTX * 16),
+         blockio._freq_code(lo_f).reshape(G, LROWS * 16)],
+        axis=1).astype(np.uint8)
+    return codes, codes_to_tables(codes)
+
+
+def codes_to_tables(codes: np.ndarray):
+    G = codes.shape[0]
+    hi = blockio._renorm_rows(
+        blockio._freq_decode(codes[:, :NCTX * 16]).reshape(G, NCTX, 16))
+    lo = blockio._renorm_rows(
+        blockio._freq_decode(codes[:, NCTX * 16:]).reshape(G, LROWS, 16))
+    return hi, lo
+
+
+def _rank_perm(data: np.ndarray) -> np.ndarray:
+    counts = np.bincount(data, minlength=256)
+    return np.argsort(-counts, kind="stable").astype(np.uint8)
+
+
+def n_segments(n: int, cap: int) -> int:
+    """Warm-table segment count: >= 256KB of data per table (the
+    768-code header per segment must stay amortized, ~0.3% at 256KB),
+    capped by the group/lane count.  Both sides derive this from
+    (n, cap) deterministically."""
+    return max(1, min(cap, n >> 18))
+
+
+def _lane_tables(hi_q, lo_q, lanes: int):
+    """[G,R,16] dequantized segment freqs -> per-lane cumulative
+    [L,R,16]; lane l (contiguous span l) maps to segment l*G//lanes."""
+    G = hi_q.shape[0]
+    seg = (np.arange(lanes, dtype=np.int64) * G) // lanes
+    hi0 = blockio.cumulative(hi_q)[seg]
+    lo0 = blockio.cumulative(lo_q)[seg]
+    return jnp.asarray(hi0), jnp.asarray(lo0)
+
+
+# ---------------------------------------------------------------------------
+# XLA twin codec (id 59): per-lane streams, contiguous spans
+# ---------------------------------------------------------------------------
+
+def encode_block(data: np.ndarray, lanes: int = 8192,
+                 step_quant: int = 256, **_unused) -> bytes:
+    n = data.shape[0]
+    perm = _rank_perm(data) if n else np.arange(256, dtype=np.uint8)
+    inv = np.zeros(256, np.uint8)
+    inv[perm] = np.arange(256, dtype=np.uint8)
+    rm = inv[data]
+    K = blockio.K_for(n, lanes, step_quant)
+    padded = np.zeros(lanes * K, np.uint8)
+    padded[:n] = rm
+    G = n_segments(n, lanes)
+    codes, (hi_q, lo_q) = quantize_tables(*group_tables(padded, G))
+    hi0, lo0 = _lane_tables(hi_q, lo_q, lanes)
+    streams, lengths = encode_device(
+        blockio.push_u8(padded.reshape(lanes, K)), K, hi0, lo0)
+    return (perm.tobytes() + blockio.pack_codes(codes)
+            + blockio.pack_device(streams, lengths))
+
+
+def decode_block(payload: bytes, n: int, lanes: int = 8192,
+                 step_quant: int = 256, **_unused) -> np.ndarray:
+    if len(payload) < 256 + 4 + N_ENTRIES:
+        raise ValueError("corrupt payload: truncated header")
+    perm = np.frombuffer(payload[:256], np.uint8)
+    G = n_segments(n, lanes)
+    codes, consumed = blockio.unpack_codes(payload[256:], G,
+                                           n_entries=N_ENTRIES)
+    hi_q, lo_q = codes_to_tables(codes)
+    hi0, lo0 = _lane_tables(hi_q, lo_q, lanes)
+    K = blockio.K_for(n, lanes, step_quant)
+    streams = blockio.unpack_device(payload[256 + consumed:], lanes,
+                                    2 * K + 2)
+    block = blockio.fetch_u8(decode_device(streams, K, hi0, lo0))
+    return perm[block.reshape(-1)[:n]]

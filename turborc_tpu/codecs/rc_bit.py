@@ -295,9 +295,11 @@ def rc16_decode(payload: bytes, n: int, lanes: int = 512,
 
 
 def make_nbit_block_api(W: int):
-    """W-bit element codec over bytes each < 2^W (reference mb_o0.h
-    sub-byte models as a standalone codec; W in 2..8)."""
+    """W-bit element codec over ints each < 2^W (reference mb_o0.h
+    n-bit tree models as standalone codecs; W in 2..7 sub-byte, 10/12
+    super-byte - mb_o0.h:44-248 builds the same family)."""
     from turborc_tpu.codecs import blockio
+    out_dt = np.uint8 if W <= 8 else np.uint16
 
     def encode_block(data: np.ndarray, lanes: int = 512,
                      step_quant: int = 64, prm0: int = 5, prm1: int = 8,
@@ -316,7 +318,7 @@ def make_nbit_block_api(W: int):
         K = blockio.K_for(n, lanes, step_quant)
         streams = blockio.unpack_device(payload, lanes, W * K + 2)
         vals = np.asarray(decoden_device(streams, K, W, "s", prm0, prm1))
-        return vals.reshape(-1)[:n].astype(np.uint8)
+        return vals.reshape(-1)[:n].astype(out_dt)
 
     return encode_block, decode_block
 

@@ -72,6 +72,11 @@ def _lazy_init():
         register(8, "rc-p", rc_tree.encode_block, rc_tree.decode_block,
                  "bitwise-tree model on Pallas TPU kernels, nibble-grouped "
                  "coding (fast path of ref rc id 1)")
+        from turborc_tpu.codecs import rans_pallas_r1
+        register(60, "rans-cdf-r1-p", rans_pallas_r1.encode_block,
+                 rans_pallas_r1.decode_block,
+                 "order-1 flagship on Pallas TPU kernels: rank-quantized "
+                 "contexts, conditional warm tables (ref anscdf1 id 64)")
     from turborc_tpu.codecs import rans_cdf_o1, rans_cdf_s8
     register(58, "rans-cdf-s8", rans_cdf_s8.encode_block,
              rans_cdf_s8.decode_block,
@@ -80,6 +85,16 @@ def _lazy_init():
     register(64, "rans-cdf-o1", rans_cdf_o1.encode_block,
              rans_cdf_o1.decode_block,
              "adaptive CDF16 rANS, order 1 (ref anscdf1 id 64)")
+    from turborc_tpu.codecs import rans_cdf_r1
+    register(59, "rans-cdf-r1", rans_cdf_r1.encode_block,
+             rans_cdf_r1.decode_block,
+             "order-1 rANS with rank-quantized contexts + conditional "
+             "warm tables (XLA twin of rans-cdf-r1-p; ref anscdf1 class)")
+    from turborc_tpu.codecs import rans_auto
+    register(61, "rans-auto", rans_auto.encode_block,
+             rans_auto.decode_block,
+             "flagship auto-dispatch: share-span o0 vs contiguous o1 "
+             "per block from the mean-run statistic (1-byte payload tag)")
     register(1, "rc-o0", rc_bit.rc_s_encode, rc_bit.rc_s_decode,
              "bitwise order-0, simple predictor (ref rc id 1)")
     register(2, "rcc-o1", rc_bit.rcc_s_encode, rc_bit.rcc_s_decode,
@@ -154,10 +169,10 @@ def _lazy_init():
     register(7, "rc-32", rc_bit.rc32_encode, rc_bit.rc32_decode,
              "bitwise order-0 over 32-bit symbols: hi16 tree + lo16 tree "
              "keyed by bitlen(hi) bucket (ref rc 32-bit, rc_.c:98-340)")
-    for w in (2, 3, 5, 6, 7):
+    for w in (2, 3, 5, 6, 7, 10, 12):
         enc, dec = rc_bit.make_nbit_block_api(w)
         register(140 + w, f"rc{w}b", enc, dec,
-                 f"bitwise {w}-bit symbol tree model (ref mb_o0.h:44-88)")
+                 f"bitwise {w}-bit symbol tree model (ref mb_o0.h:44-248)")
     register(66, "ansb", rc_bit.ansb_encode, rc_bit.ansb_decode,
              "bitwise ANS at the reference design point: 4 interleaved "
              "binary-rANS states, o0 tree model "

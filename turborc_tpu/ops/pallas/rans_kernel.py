@@ -355,6 +355,34 @@ def _shift_pair_left(q0, q1, c, lane):
 # decode kernel
 # ---------------------------------------------------------------------------
 
+def _make_fetch(window, base_v, lane):
+    """Build the per-step word-fetch closure over a kernel's stream
+    window (shared by the o0 and o1 decode kernels)."""
+    def fetch(state, q0, q1, vcnt, consumed):
+        need = state < ANS_LOW
+        needi = need.astype(jnp.int32)
+        rank = _prefix_sum_lanes(needi)
+        word = _barrel_gather(q0, lane - rank)
+        state = jnp.where(need, (state << 16) | word, state)
+        cnt = jnp.sum(needi, axis=1, keepdims=True)
+        q0, q1 = _shift_pair_left(q0, q1, cnt, lane)
+        vcnt = vcnt - cnt
+        consumed = consumed + cnt
+        # refill one window row when at most 128 words remain (cnt <= 128
+        # per fetch keeps vcnt >= 0; one row per fetch restores vcnt to
+        # (128, 256] because cnt <= 128)
+        refill = vcnt <= 128
+        fillrel = (consumed + vcnt) >> 7
+        fillrel = fillrel - base_v  # row to append, window-relative
+        row = _select_dyn([window[:, w, :] for w in range(WROWS)], fillrel)
+        rs = _rot_right(row, vcnt & 127)
+        q0 = jnp.where(refill & (lane >= vcnt), rs, q0)
+        q1 = jnp.where(refill & (lane < vcnt), rs, q1)
+        vcnt = jnp.where(refill, vcnt + 128, vcnt)
+        return state, q0, q1, vcnt, consumed
+    return fetch
+
+
 def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
                    states, cdf_hi, cdf_lo, start_lo, queue, window, pword,
                    vq, sem):
@@ -402,28 +430,7 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
     state = states[:, :]
     hi_t = [cdf_hi[i] for i in range(16)]
 
-    def fetch(state, q0, q1, vcnt, consumed):
-        need = state < ANS_LOW
-        needi = need.astype(jnp.int32)
-        rank = _prefix_sum_lanes(needi)
-        word = _barrel_gather(q0, lane - rank)
-        state = jnp.where(need, (state << 16) | word, state)
-        cnt = jnp.sum(needi, axis=1, keepdims=True)
-        q0, q1 = _shift_pair_left(q0, q1, cnt, lane)
-        vcnt = vcnt - cnt
-        consumed = consumed + cnt
-        # refill one window row when at most 128 words remain (cnt <= 128
-        # per fetch keeps vcnt >= 0; one row per fetch restores vcnt to
-        # (128, 256] because cnt <= 128)
-        refill = vcnt <= 128
-        fillrel = (consumed + vcnt) >> 7
-        fillrel = fillrel - base_v  # row to append, window-relative
-        row = _select_dyn([window[:, w, :] for w in range(WROWS)], fillrel)
-        rs = _rot_right(row, vcnt & 127)
-        q0 = jnp.where(refill & (lane >= vcnt), rs, q0)
-        q1 = jnp.where(refill & (lane < vcnt), rs, q1)
-        vcnt = jnp.where(refill, vcnt + 128, vcnt)
-        return state, q0, q1, vcnt, consumed
+    fetch = _make_fetch(window, base_v, lane)
 
     start_hi = hi_t
     for t in range(CHUNK):
@@ -687,6 +694,12 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
         interpret=INTERPRET,
     )(hi_b, lo_b, cols)
 
+    return coder_and_place(probs, init_states, K)
+
+
+def coder_and_place(probs, init_states, K: int):
+    """Backward coding pass + placement over a [2K, G, 128] probs tensor
+    (shared by the o0 and o1 encode pipelines)."""
     n = K // CHUNK
     words, emit, state = pl.pallas_call(
         _coder_kernel,
