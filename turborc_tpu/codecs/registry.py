@@ -163,6 +163,11 @@ def _lazy_init():
              "count (ref rcc2 id 3, rc_.c:344-370)")
     register(4, "rcx", rc_bit.rcx_encode, rc_bit.rcx_decode,
              "sliding-context bitwise codec, ctx in bits (ref rcx ids 4-5)")
+    from turborc_tpu.codecs import rc_range
+    register(5, "rc-rc", rc_range.encode_block, rc_range.decode_block,
+             "order-0 byte tree over the TRUE carry-propagating range "
+             "coder core; lanes=1 payload is bit-identical to reference "
+             "rcsenc streams (ref turborc_.h:103-159, rc_.c:37-59)")
     register(6, "rc-16", rc_bit.rc16_encode, rc_bit.rc16_decode,
              "bitwise order-0 over 16-bit symbols, 16-level tree "
              "(ref rc 16-bit, rc_.c:62-79)")
