@@ -168,6 +168,12 @@ def _lazy_init():
              "order-0 byte tree over the TRUE carry-propagating range "
              "coder core; lanes=1 payload is bit-identical to reference "
              "rcsenc streams (ref turborc_.h:103-159, rc_.c:37-59)")
+    from turborc_tpu.codecs import rcv_2end
+    register(39, "rcv-2e", rcv_2end.encode_block, rcv_2end.decode_block,
+             "Turbo-VLC 16-bit with a TWO-ENDED lane stream: adaptive "
+             "CDF16 exponents forward, raw mantissa bits R->L from the "
+             "row end, no inner boundary field (ref rcv + bit I/O, "
+             "rc_.c:1026, rcutil_.h:166-190)")
     register(6, "rc-16", rc_bit.rc16_encode, rc_bit.rc16_decode,
              "bitwise order-0 over 16-bit symbols, 16-level tree "
              "(ref rc 16-bit, rc_.c:62-79)")
