@@ -184,6 +184,48 @@ def _lazy_init():
         enc, dec = rc_bit.make_nbit_block_api(w)
         register(140 + w, f"rc{w}b", enc, dec,
                  f"bitwise {w}-bit symbol tree model (ref mb_o0.h:44-248)")
+    def _make_v8_api(esize: int, zz: bool):
+        # TurboByte composition (ref rcv8/rcv8z, rc_.c:1456-1564): group
+        # varint to a byte stream, then the adaptive byte entropy stage
+        from turborc_tpu.transforms import delta as D
+        from turborc_tpu.transforms import vbyte
+
+        venc = vbyte.v8enc16 if esize == 2 else vbyte.v8enc32
+        vdec = vbyte.v8dec16 if esize == 2 else vbyte.v8dec32
+
+        def encode_v8(data: np.ndarray, **kw) -> bytes:
+            data = np.asarray(data, np.uint8)
+            if zz:
+                data = D.zigzag_enc(D.delta_enc(data, esize), esize)
+            buf = data.tobytes() + b"\0" * ((-data.shape[0]) % esize)
+            tmp = venc(np.frombuffer(buf, f"<u{esize}"))
+            arr = np.frombuffer(tmp, np.uint8)
+            return (np.uint32(len(tmp)).tobytes()
+                    + rans_cdf_o0.encode_block(arr, **kw))
+
+        def decode_v8(payload: bytes, n: int, **kw) -> np.ndarray:
+            if len(payload) < 4:
+                raise ValueError("corrupt payload: rcv8 header")
+            tlen = int(np.frombuffer(payload[:4], "<u4")[0])
+            tmp = rans_cdf_o0.decode_block(payload[4:], tlen, **kw)
+            out = np.frombuffer(vdec(tmp.tobytes()).tobytes(),
+                                np.uint8)[:n]
+            if zz:
+                out = D.delta_dec(D.zigzag_dec(out, esize), esize)
+            return out
+
+        return encode_v8, decode_v8
+
+    for vid, es, zz, nm in ((37, 2, False, "rcv8-16"),
+                            (38, 2, True, "rcv8z-16"),
+                            (87, 4, False, "rcv8-32"),
+                            (88, 4, True, "rcv8z-32")):
+        enc, dec = _make_v8_api(es, zz)
+        register(vid, nm, enc, dec,
+                 f"TurboByte group varint ({es*8}-bit"
+                 f"{', zigzag delta' if zz else ''}) + adaptive byte "
+                 "entropy stage (ref rcv8 ids 37/38, rc_.c:1456-1564)")
+
     register(66, "ansb", rc_bit.ansb_encode, rc_bit.ansb_decode,
              "bitwise ANS at the reference design point: 4 interleaved "
              "binary-rANS states, o0 tree model "
