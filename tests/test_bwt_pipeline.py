@@ -29,7 +29,7 @@ def test_suffix_array_sorted(rng):
         assert s[sa[i]:] < s[sa[i + 1]:] or sa[i] == len(s)
 
 
-@pytest.mark.parametrize("level", [3, 5, 8, 9])
+@pytest.mark.parametrize("level", [3, 5, 8, 9, 10])
 def test_pipeline_roundtrip(corpora, level):
     data = corpora["text"][:12000]
     cfg = CodecConfig(codec="rcbwt", lanes=16, block_size=1 << 14,

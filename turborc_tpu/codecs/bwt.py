@@ -6,7 +6,9 @@ reference's libsais/libdivsufsort dependency.  TPU stage: the BWT output
 `level`, mirroring rcbwt.c:83-94's level switch:
 
   level 0: store    3/4: rcrle    5/6: bitwise o1 (dual-speed)
-  7/8: adaptive-CDF rANS    9: rcmrr context-mixing (best ratio)
+  7: adaptive-CDF rANS    8: QLFC    9: rcmrr context-mixing (best
+  ratio)    10: auto-dispatch kernel flagship (TPU-speed stage; no
+  reference analog)
 
 Payload: u64 primary index + u8 stage id + stage payload.
 """
@@ -54,6 +56,17 @@ def _qlfc_dec(*a, **kw):
     return _qlfc_api()[1](*a, **kw)
 
 
+def _auto_enc(data, **_kw):
+    # kernel-geometry stage ignores the bitwise stages' lane params
+    from turborc_tpu.codecs import rans_auto
+    return rans_auto.encode_block(data)
+
+
+def _auto_dec(payload, n, **_kw):
+    from turborc_tpu.codecs import rans_auto
+    return rans_auto.decode_block(payload, n)
+
+
 _STAGES = {
     2: ("rle", rle.encode_block, rle.decode_block),
     3: ("rle", rle.encode_block, rle.decode_block),
@@ -63,10 +76,16 @@ _STAGES = {
     7: ("rans-cdf", rans_cdf_o0.encode_block, rans_cdf_o0.decode_block),
     8: ("qlfc", _qlfc_enc, _qlfc_dec),     # ref rcbwt.c:83-94 lev 7/8
     9: ("rcmrr", _rcmrr_enc, _rcmrr_dec),  # ref rcbwt.c:94 lev 9
+    # level 10 (no reference analog): the auto-dispatching kernel
+    # flagship as the stage - the TPU-speed BWT point (~2 orders of
+    # magnitude faster stage decode than the scan stages on hardware;
+    # BWT output is run-structured, so the dispatch picks the o1 arm)
+    10: ("rans-auto", _auto_enc, _auto_dec),
 }
-_STAGE_IDS = {2: 2, 3: 2, 4: 2, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+_STAGE_IDS = {2: 2, 3: 2, 4: 2, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9,
+              10: 10}
 _BY_STAGE_ID = {2: _STAGES[2], 5: _STAGES[5], 7: _STAGES[7],
-                8: _STAGES[8], 9: _STAGES[9]}
+                8: _STAGES[8], 9: _STAGES[9], 10: _STAGES[10]}
 
 
 def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
