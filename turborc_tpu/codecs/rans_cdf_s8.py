@@ -47,9 +47,16 @@ SYNC = int(os.environ.get("TRC_SYNC", "4"))
 # re-join every SYNC, cold rows every LSYNC bytes
 SROWS = 4
 LSYNC = int(os.environ.get("TRC_LSYNC", "32"))
+# adaptive lo-table rows (format knob, shared with rans_kernel.AROWS):
+# rows >= AROWS are fully static - no update, no sync; they ride the
+# per-segment warm-start tables alone (the remap concentrates hi nibbles
+# in the low rows, so static cold rows cost ~nothing on remapped data
+# while removing the kernel's 16-row write-back and cold re-joins)
+AROWS = int(os.environ.get("TRC_AROWS", "16"))
 N_SEG = 64     # warm-start table segments per block
 
 assert LSYNC % SYNC == 0
+assert 0 <= AROWS <= 16
 
 
 def _lo_row(cdf_lo, sel):
@@ -109,7 +116,10 @@ def _code_byte(cdf_hi, cdf_lo, b):
     sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
     row = _lo_row(cdf_lo, sel)
     low_l, fr_l = cdf16.lookup(row, lo)
-    cdf_lo = _lo_put(cdf_lo, sel, row, cdf16.update(row, low_l))
+    new_row = cdf16.update(row, low_l)
+    if AROWS < 16:  # static cold rows: no update when hi >= AROWS
+        new_row = jnp.where((hi < AROWS)[:, None], new_row, row)
+    cdf_lo = _lo_put(cdf_lo, sel, row, new_row)
     return cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l
 
 
@@ -153,7 +163,7 @@ def encode_device(block: jnp.ndarray, K: int, hi_tbl, lo_tbl):
         cdf_hi, cdf_lo = carry
         (cdf_hi, cdf_lo, start_lo), outs = jax.lax.scan(
             win, (cdf_hi, cdf_lo, cdf_lo), bs)
-        if SHARE > 1:  # cold rows re-join once per LSYNC bytes
+        if SHARE > 1 and AROWS > SROWS:  # cold re-join per LSYNC bytes
             cdf_lo = _sync_lo_cold(cdf_lo, start_lo)
         return (cdf_hi, cdf_lo), outs
 
@@ -188,7 +198,10 @@ def decode_device(streams: jnp.ndarray, K: int, hi_tbl, lo_tbl):
             value = (state & rans.MASK15).astype(jnp.int32)
             lo, low_l, fr_l = cdf16.search(row, value)
             state = rans.dec_update(state, low_l, fr_l)
-            cdf_lo = _lo_put(cdf_lo, sel, row, cdf16.update(row, low_l))
+            new_row = cdf16.update(row, low_l)
+            if AROWS < 16:  # static cold rows (mirror _code_byte)
+                new_row = jnp.where((hi < AROWS)[:, None], new_row, row)
+            cdf_lo = _lo_put(cdf_lo, sel, row, new_row)
             state, pos = rans.dec_renorm(state, streams, pos)
             outs.append((hi << 4) | lo)
         if SHARE > 1:
@@ -201,7 +214,7 @@ def decode_device(streams: jnp.ndarray, K: int, hi_tbl, lo_tbl):
         (cdf_hi, cdf_lo, start_lo, state, pos), outs = jax.lax.scan(
             win, (cdf_hi, cdf_lo, cdf_lo, state, pos), None,
             length=LSYNC // SYNC)
-        if SHARE > 1:
+        if SHARE > 1 and AROWS > SROWS:
             cdf_lo = _sync_lo_cold(cdf_lo, start_lo)
         return (cdf_hi, cdf_lo, state, pos), outs
 

@@ -87,6 +87,19 @@ SYNC = int(os.environ.get("TRC_SYNC", "4"))
 SROWS = 4
 LSYNC = int(os.environ.get("TRC_LSYNC", "32"))
 
+# Adaptive lo-table rows (format knob): rows >= AROWS are fully STATIC -
+# no per-byte update, no write-back, no sync, no start buffer.  The
+# remap concentrates hi nibbles in the low rows (see SROWS), so static
+# cold rows ride the per-group warm tables alone.  AROWS=16 is the full
+# adaptive table (round-2 shipped format); AROWS=4 removes the 16-row
+# write-back (256 wheres/byte -> 64), the cold-row LSYNC re-joins, and
+# shrinks the lo scratch from 2x16 to 2xAROWS rows (33+33 MB -> 4+4 MB
+# at GROUPS=64), the VMEM headroom for wider GROUPS.
+AROWS = int(os.environ.get("TRC_AROWS", "16"))
+assert 0 <= AROWS <= 16
+HROWS = min(SROWS, AROWS)       # rows re-joined at the fast cadence
+CROWS = max(AROWS, 1)           # lo scratch rows (>=1 keeps shapes valid)
+
 # Interpret mode (tests): runs every pallas_call op-by-op on CPU.  Only
 # practical at tiny geometry (TRC_GROUPS=2), which is how CI covers the
 # decode kernel's cross-grid-step carry off-hardware.
@@ -266,7 +279,7 @@ def _dec_search(state, cdf):
 def _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl, start_lo=None):
     for i in range(16):
         cdf_hi[i] = hi_tbl[i]
-        for h in range(16):
+        for h in range(AROWS):
             cdf_lo[h, i] = lo_tbl[h, i]
             if start_lo is not None:
                 start_lo[h, i] = lo_tbl[h, i]
@@ -445,7 +458,8 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
         if "rowsel" in ABLATE:
             row_t = [cdf_lo[0, i] for i in range(16)]
         else:
-            row_t = [_select16([cdf_lo[h, i] for h in range(16)], *hb)
+            row_t = [_select16([cdf_lo[h, i] if h < AROWS else lo_tbl[h, i]
+                                for h in range(16)], *hb)
                      for i in range(16)]
         state, lo, low_l = _dec_search(state, row_t)
         if "fetch" in ABLATE:
@@ -455,7 +469,7 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
                                                   consumed)
         new_row = _cdf_update(row_t, low_l)
         if "wb" not in ABLATE:
-            for h in range(16):
+            for h in range(AROWS):
                 hit = hi == h
                 for i in range(16):
                     cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
@@ -477,13 +491,15 @@ def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
                                        for i in range(16)]))
             start_hi = hi_t
             if "losync" not in ABLATE:
-                _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS))
+                _rejoin_rows(cdf_lo, start_lo, lane, range(HROWS))
 
-    # ---- cold-row re-join at the LSYNC boundary (grid-step aligned)
-    if SHARE > 1 and "sync" not in ABLATE and "losync" not in ABLATE:
+    # ---- cold-row re-join at the LSYNC boundary (grid-step aligned;
+    # rows >= AROWS are static and never re-join)
+    if SHARE > 1 and AROWS > SROWS and "sync" not in ABLATE \
+            and "losync" not in ABLATE:
         @pl.when((g + 1) % LSYNC_STEPS == 0)
         def _():
-            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS, 16))
+            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS, AROWS))
 
     # ---- persist carry state (pword = absolute consumed position)
     states[:, :] = state
@@ -534,8 +550,8 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
         scratch_shapes=[
             pltpu.VMEM((GROUPS, GLANES), jnp.int32),          # states
             pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),      # cdf_hi
-            pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),  # cdf_lo
-            pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),  # start_lo
+            pltpu.VMEM((CROWS, 16, GROUPS, GLANES), jnp.int32),  # cdf_lo
+            pltpu.VMEM((CROWS, 16, GROUPS, GLANES), jnp.int32),  # start_lo
             pltpu.VMEM((2, GROUPS, GLANES), jnp.int32),       # queue
             pltpu.VMEM((GROUPS, WROWS, GLANES), jnp.int32),   # window
             pltpu.SMEM((GROUPS,), jnp.int32),                 # pword
@@ -581,11 +597,12 @@ def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo,
         low_h, fr_h = _cdf_lookup(hi_t, hi)
         hi_t = _cdf_update(hi_t, low_h)
         hb = _idx_bits(hi)
-        row_t = [_select16([cdf_lo[h, i] for h in range(16)], *hb)
+        row_t = [_select16([cdf_lo[h, i] if h < AROWS else lo_tbl[h, i]
+                            for h in range(16)], *hb)
                  for i in range(16)]
         low_l, fr_l = _cdf_lookup(row_t, lo)
         new_row = _cdf_update(row_t, low_l)
-        for h in range(16):
+        for h in range(AROWS):
             hit = hi == h
             for i in range(16):
                 cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
@@ -596,11 +613,11 @@ def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo,
             hi_t = _clamp16(_repair16([start_hi[i] + d[i]
                                        for i in range(16)]))
             start_hi = hi_t
-            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS))
-    if SHARE > 1:
+            _rejoin_rows(cdf_lo, start_lo, lane, range(HROWS))
+    if SHARE > 1 and AROWS > SROWS:
         @pl.when((g + 1) % LSYNC_STEPS == 0)
         def _():
-            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS, 16))
+            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS, AROWS))
     for i in range(16):
         cdf_hi[i] = hi_t[i]
 
@@ -686,8 +703,8 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
         out_shape=jax.ShapeDtypeStruct((2 * K, GROUPS, GLANES), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),
-            pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),
-            pltpu.VMEM((16, 16, GROUPS, GLANES), jnp.int32),  # start_lo
+            pltpu.VMEM((CROWS, 16, GROUPS, GLANES), jnp.int32),
+            pltpu.VMEM((CROWS, 16, GROUPS, GLANES), jnp.int32),  # start_lo
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -849,7 +866,7 @@ def encode_tile(block: jnp.ndarray, K: int,
     block = block.astype(jnp.int32)  # callers may push compact uint8
     L = block.shape[0]
     assert L == LANES and S8.SHARE == SHARE and S8.SYNC == SYNC \
-        and S8.LSYNC == LSYNC
+        and S8.LSYNC == LSYNC and S8.AROWS == AROWS
     if hi_tbl is None:
         hi_tbl, lo_tbl = _default_tables()
     # per-lane tables from the per-group args (lane l is in group l//128)
@@ -875,7 +892,7 @@ def encode_tile(block: jnp.ndarray, K: int,
         cdf_hi, cdf_lo = carry
         (cdf_hi, cdf_lo, start_lo), outs = jax.lax.scan(
             win, (cdf_hi, cdf_lo, cdf_lo), bs)
-        if SHARE > 1:
+        if SHARE > 1 and AROWS > SROWS:
             cdf_lo = S8._sync_lo_cold(cdf_lo, start_lo)
         return (cdf_hi, cdf_lo), outs
 
