@@ -40,8 +40,9 @@ def test_place_kernel_interpret_matches_xla_stitch(rng, K_):
     def run_place(words, emit, state):
         R = S + 2 + K_.WROWS
         n = K // K_.CHUNK
+        from turborc_tpu.ops.pallas.geom import DEFAULT
         out = pl.pallas_call(
-            K_._place_kernel, grid=(n,),
+            K_._make_place_kernel(DEFAULT), grid=(n,),
             in_specs=[pl.BlockSpec((2 * K_.CHUNK, K_.GROUPS, K_.GLANES),
                                    lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)] * 2,

@@ -23,6 +23,13 @@ whole-corpus bigram stats would miscount as order-1 structure (the
 synthetic textbwt corpus shows 0.97 bit/B globally yet the reference's
 own o1 loses to its o0 there).  Gain >= 0.2 bits/B -> order-1 arm.
 
+Round 3 adds a third arm: share-1 span geometry (tag 2).  On long-run
+data that stays order-0-shaped (o1 gain below threshold but mean run
+length high), the share-8 striding destroys burst adaptation (measured
+1.253x vs reference on realsrcbwt while share-1 is 1.067x); the encoder
+picks it from the mean-run statistic and the tag + v3 geometry header
+make the block self-describing.
+
 The chosen arm rides in a 1-byte payload tag so containers stay
 self-describing; the Pallas kernel variants are used on TPU backends,
 the XLA twins elsewhere (same payload tag semantics per backend family
@@ -30,13 +37,16 @@ as ids 57/58 and 59/60).
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 GAIN_THRESHOLD = 0.2   # bits/byte of held-out order-1 gain
+RUN_THRESHOLD = 2.5    # mean run length above which striding hurts
 _WIN = 64 << 10
 _MAX_WINDOWS = 8
 
-_TAG_S8, _TAG_R1 = 0, 1
+_TAG_S8, _TAG_R1, _TAG_S1 = 0, 1, 2
 
 
 def _impls():
@@ -82,10 +92,34 @@ def o1_gain(data: np.ndarray) -> float:
     return float(np.mean(gains))
 
 
+def mean_run(data: np.ndarray) -> float:
+    """Mean run length (sampled: first/last 1MB for large blocks)."""
+    n = data.shape[0]
+    if n < 2:
+        return 1.0
+    if n > (2 << 20):
+        d = np.concatenate([data[:1 << 20], data[-(1 << 20):]])
+    else:
+        d = data
+    changes = int((d[1:] != d[:-1]).sum()) + 1
+    return d.shape[0] / changes
+
+
+def _share1(geom):
+    from turborc_tpu.ops.pallas.geom import DEFAULT
+    return dataclasses.replace(geom or DEFAULT, share=1)
+
+
 def encode_block(data: np.ndarray, **kw) -> bytes:
     s8, r1 = _impls()
-    tag = _TAG_R1 if o1_gain(data) >= GAIN_THRESHOLD else _TAG_S8
-    mod = r1 if tag == _TAG_R1 else s8
+    geom = kw.get("geom")
+    if o1_gain(data) >= GAIN_THRESHOLD:
+        tag, mod = _TAG_R1, r1
+    elif (geom is None or geom.share > 1) and mean_run(data) >= RUN_THRESHOLD:
+        tag, mod = _TAG_S1, s8
+        kw = dict(kw, geom=_share1(geom))
+    else:
+        tag, mod = _TAG_S8, s8
     return bytes([tag]) + mod.encode_block(data, **kw)
 
 
@@ -93,8 +127,10 @@ def decode_block(payload: bytes, n: int, **kw) -> np.ndarray:
     if not payload:
         raise ValueError("corrupt payload: missing auto-dispatch tag")
     tag = payload[0]
-    if tag not in (_TAG_S8, _TAG_R1):
+    if tag not in (_TAG_S8, _TAG_R1, _TAG_S1):
         raise ValueError(f"corrupt payload: bad auto-dispatch tag {tag}")
     s8, r1 = _impls()
+    if tag == _TAG_S1:
+        kw = dict(kw, geom=_share1(kw.get("geom")))
     mod = r1 if tag == _TAG_R1 else s8
     return mod.decode_block(payload[1:], n, **kw)

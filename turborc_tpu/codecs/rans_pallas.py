@@ -12,6 +12,10 @@ a contiguous SHARE*K-byte span (lane j decodes bytes t*SHARE+j), and the
 warm-start tables are per GROUP (contiguous 128*K bytes), cutting the
 per-lane adaptation ramp that cost round 1 1.1pp of ratio on 64MB blocks.
 
+Format v3 (round 3): the kernel geometry (groups/chunk/share/sync/lsync/
+arows) is a runtime argument recorded in the container header instead of
+an env-var module constant - see ops/pallas/geom.py.
+
 Payload: [256] u8 byte permutation (global frequency-rank remap, worth
 ~0.04pp on text: skews the hi-nibble distribution) + packed warm tables
 (blockio.pack_codes: 8-bit log codes, per-group nibble deltas) +
@@ -27,27 +31,28 @@ import jax
 import jax.numpy as jnp
 
 from turborc_tpu.ops.pallas import rans_kernel as K_
+from turborc_tpu.ops.pallas.geom import DEFAULT, Geom
 
-GROUPS = K_.GROUPS
-LANES = K_.LANES
-SHARE = K_.SHARE
+GROUPS = DEFAULT.groups
+LANES = DEFAULT.lanes
+SHARE = DEFAULT.share
 from turborc_tpu.codecs import blockio as _bio
 
 TOTAL = 1 << 15
 
 
-def _K_for(n: int) -> int:
-    K = -(-n // LANES)
-    q = max(K_.CHUNK, K_.LSYNC)  # grid-step AND cold-sync alignment
+def _K_for(n: int, g: Geom = DEFAULT) -> int:
+    K = -(-n // g.lanes)
+    q = g.step_quant  # grid-step AND cold-sync alignment
     return max(-(-K // q) * q, q)
 
 
-def _group_tables(padded: np.ndarray):
+def _group_tables(padded: np.ndarray, g: Geom = DEFAULT):
     """Per-group warm tables from each group's contiguous slice."""
-    per = padded.shape[0] // GROUPS
+    per = padded.shape[0] // g.groups
     his, los = [], []
-    for g in range(GROUPS):
-        hi_f, lo_f = _bio.nibble_tables(padded[g * per:(g + 1) * per])
+    for gi in range(g.groups):
+        hi_f, lo_f = _bio.nibble_tables(padded[gi * per:(gi + 1) * per])
         his.append(hi_f)
         los.append(lo_f)
     return np.stack(his), np.stack(los)  # [G,16], [G,16,16]
@@ -60,17 +65,17 @@ def _cum_args(hi_f: np.ndarray, lo_f: np.ndarray):
     return jnp.asarray(hi), jnp.asarray(lo)
 
 
-def _shape_lanes(data: np.ndarray, K: int) -> np.ndarray:
+def _shape_lanes(data: np.ndarray, K: int, g: Geom = DEFAULT):
     """flat bytes -> [LANES, K] in kernel lane order (strided spans).
 
     Kept uint8: the host<->device link is the end-to-end bottleneck
     (tunneled dev rigs ~30 MB/s, PCIe DMA on real pods), so blocks ride
     compact and the kernels cast to int32 on-device."""
-    S = LANES // SHARE
-    padded = np.zeros(LANES * K, np.uint8)
+    S = g.lanes // g.share
+    padded = np.zeros(g.lanes * K, np.uint8)
     padded[:data.shape[0]] = data
-    return (padded.reshape(S, K, SHARE).transpose(0, 2, 1)
-            .reshape(LANES, K)), padded
+    return (padded.reshape(S, K, g.share).transpose(0, 2, 1)
+            .reshape(g.lanes, K)), padded
 
 
 # Device-side helpers so only compact bytes cross the host<->device link:
@@ -90,9 +95,9 @@ def _pad_rows(gs, R):
             .at[:, :Rn, :].set(gs.astype(jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def _bytes_out(out, K):
-    return out.reshape(K, LANES).astype(jnp.uint8)
+@functools.partial(jax.jit, static_argnames=("K", "lanes"))
+def _bytes_out(out, K, lanes=LANES):
+    return out.reshape(K, lanes).astype(jnp.uint8)
 
 
 def _round_rows(rows_needed: int, cap: int) -> int:
@@ -112,15 +117,20 @@ SEED_BITS = 15
 SEED_BYTES = SEED_BITS * LANES // 8
 
 
-def _split_seed(data: np.ndarray):
-    s_len = min(data.shape[0], SEED_BYTES)
-    buf = np.zeros(SEED_BYTES, np.uint8)
+def _seed_bytes(g: Geom) -> int:
+    return SEED_BITS * g.lanes // 8
+
+
+def _split_seed(data: np.ndarray, g: Geom = DEFAULT):
+    sb = _seed_bytes(g)
+    s_len = min(data.shape[0], sb)
+    buf = np.zeros(sb, np.uint8)
     buf[:s_len] = data[:s_len]
-    bits = np.unpackbits(buf).reshape(LANES, SEED_BITS)
+    bits = np.unpackbits(buf).reshape(g.lanes, SEED_BITS)
     pw = (1 << np.arange(SEED_BITS - 1, -1, -1)).astype(np.int64)
     seeds = bits.astype(np.int64) @ pw                      # [LANES]
     init = (jnp.asarray((seeds | (1 << SEED_BITS)).astype(np.int64))
-            .astype(jnp.uint32).astype(jnp.int32)).reshape(GROUPS, 128)
+            .astype(jnp.uint32).astype(jnp.int32)).reshape(g.groups, 128)
     return init, data[s_len:], s_len
 
 
@@ -139,62 +149,66 @@ def _rank_perm(data: np.ndarray) -> np.ndarray:
 
 
 def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
-                 **_unused) -> bytes:
+                 geom: Geom | None = None, **_unused) -> bytes:
+    g = geom or DEFAULT
     n = data.shape[0]
     perm = _rank_perm(data) if n else np.arange(256, dtype=np.uint8)
     inv = np.zeros(256, np.uint8)
     inv[perm] = np.arange(256, dtype=np.uint8)
-    init_states, span_data, _ = _split_seed(inv[data])
-    K = _K_for(span_data.shape[0])
-    block, padded = _shape_lanes(span_data, K)
-    codes, (hi_q, lo_q) = _bio.quantize_tables(*_group_tables(padded))
+    init_states, span_data, _ = _split_seed(inv[data], g)
+    K = _K_for(span_data.shape[0], g)
+    block, padded = _shape_lanes(span_data, K, g)
+    codes, (hi_q, lo_q) = _bio.quantize_tables(*_group_tables(padded, g))
     hi_tbl, lo_tbl = _cum_args(hi_q, lo_q)
     enc = K_.encode_tile_pallas if use_pallas_encoder else K_.encode_tile
     gstreams, glens = enc(jnp.asarray(block), K, hi_tbl, lo_tbl,
-                          init_states)
+                          init_states, geom=g)
     glens = np.asarray(glens).astype(np.int64)
     rows = _round_rows(-(-int(glens.max()) // 128), gstreams.shape[1])
-    gs = np.asarray(_slice_rows(gstreams, rows)).reshape(GROUPS, -1)
+    gs = np.asarray(_slice_rows(gstreams, rows)).reshape(g.groups, -1)
     flat = np.concatenate(
-        [gs[g, :glens[g]] for g in range(GROUPS)]).astype(np.uint16)
+        [gs[gi, :glens[gi]] for gi in range(g.groups)]).astype(np.uint16)
     return (perm.tobytes() + _bio.pack_codes(codes)
             + glens.astype("<u4").tobytes() + flat.astype("<u2").tobytes())
 
 
-def decode_block(payload: bytes, n: int, **_unused) -> np.ndarray:
-    s_len = min(n, SEED_BYTES)
-    K = _K_for(n - s_len)
+def decode_block(payload: bytes, n: int, geom: Geom | None = None,
+                 **_unused) -> np.ndarray:
+    g = geom or DEFAULT
+    s_len = min(n, _seed_bytes(g))
+    K = _K_for(n - s_len, g)
     if len(payload) < 256 + 4 + 272:
         raise ValueError("corrupt payload: truncated header")
     perm = np.frombuffer(payload[:256], np.uint8)
-    codes, consumed = _bio.unpack_codes(payload[256:], GROUPS)
+    codes, consumed = _bio.unpack_codes(payload[256:], g.groups)
     hi_q, lo_q = _bio.codes_to_tables(codes)
     off = 256 + consumed
-    glens = np.frombuffer(payload[off:off + 4 * GROUPS], "<u4").astype(
+    glens = np.frombuffer(payload[off:off + 4 * g.groups], "<u4").astype(
         np.int64)
-    flat = np.frombuffer(payload[off + 4 * GROUPS:len(payload) & ~1], "<u2")
-    R = 2 * K + 2 + K_.WROWS
+    flat = np.frombuffer(payload[off + 4 * g.groups:len(payload) & ~1],
+                         "<u2")
+    R = 2 * K + 2 + g.wrows
     if glens.max() > R * 128 or glens.min() < 256 or \
             glens.sum() != flat.size:
         raise ValueError("corrupt payload: group length table inconsistent")
     # compact host buffer (occupied rows + window slack only), per-group
     # contiguous copies; the worst-case R rows are re-padded on-device
-    Rn = _round_rows(-(-int(glens.max()) // 128) + K_.WROWS, R)
-    gstreams = np.zeros((GROUPS, Rn * 128), np.uint16)
+    Rn = _round_rows(-(-int(glens.max()) // 128) + g.wrows, R)
+    gstreams = np.zeros((g.groups, Rn * 128), np.uint16)
     off = 0
-    for g in range(GROUPS):
-        ln = int(glens[g])
-        gstreams[g, :ln] = flat[off:off + ln]
+    for gi in range(g.groups):
+        ln = int(glens[gi])
+        gstreams[gi, :ln] = flat[off:off + ln]
         off += ln
     hi_tbl, lo_tbl = _cum_args(hi_q, lo_q)
-    dev = _pad_rows(jnp.asarray(gstreams.reshape(GROUPS, Rn, 128)), R)
-    out, fstates = K_.decode_tile(dev, K, hi_tbl, lo_tbl)
-    # seeds ride in the decoder's final states (2^30 | 30 bits/lane)
+    dev = _pad_rows(jnp.asarray(gstreams.reshape(g.groups, Rn, 128)), R)
+    out, fstates = K_.decode_tile(dev, K, hi_tbl, lo_tbl, geom=g)
+    # seeds ride in the decoder's final states (15 bits/lane)
     seed_bytes = _join_seed(np.asarray(fstates), s_len)
     # out [K, GROUPS, 128] -> [LANES, K] -> un-stride spans -> unmap
-    lanes_k = np.asarray(_bytes_out(out, K)).T
-    S = LANES // SHARE
-    flat_bytes = lanes_k.reshape(S, SHARE, K).transpose(0, 2, 1).reshape(-1)
+    lanes_k = np.asarray(_bytes_out(out, K, g.lanes)).T
+    S = g.lanes // g.share
+    flat_bytes = lanes_k.reshape(S, g.share, K).transpose(0, 2, 1).reshape(-1)
     full = np.concatenate([seed_bytes,
                            flat_bytes.astype(np.uint8)[:n - s_len]])
     return perm[full]

@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from turborc_tpu.ops.pallas import rans_kernel as K_
+from turborc_tpu.ops.pallas.geom import DEFAULT, Geom
 
 RC_BITS = 15
 TOTAL = 1 << RC_BITS
@@ -199,118 +200,125 @@ def _lo_descend_value(tree, hi, value):
 # decode kernel (stream machinery identical to rans_kernel._decode_kernel)
 # ---------------------------------------------------------------------------
 
-def _tree_decode_kernel(tree_tbl, stream_ref, out_ref, fstate_ref,
-                        states, tree_v, queue, window, pword, vq, sem):
-    g = pl.program_id(0)
+def _make_tree_decode_kernel(geom: Geom):
+    GROUPS, CHUNK, WROWS = geom.groups, geom.chunk, geom.wrows
 
-    @pl.when(g == 0)
-    def _():
-        for s in range(GROUPS):
-            pword[s] = 0
+    def _tree_decode_kernel(tree_tbl, stream_ref, out_ref, fstate_ref,
+                            states, tree_v, queue, window, pword, vq, sem):
+        g = pl.program_id(0)
 
-    base_row = [pword[s] >> 7 for s in range(GROUPS)]
-    copies = [pltpu.make_async_copy(
-        stream_ref.at[s, pl.ds(base_row[s], WROWS), :],
-        window.at[s], sem.at[s]) for s in range(GROUPS)]
-    for cp in copies:
-        cp.start()
-    for cp in copies:
-        cp.wait()
+        @pl.when(g == 0)
+        def _():
+            for s in range(GROUPS):
+                pword[s] = 0
 
-    @pl.when(g == 0)
-    def _():
-        states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
+        base_row = [pword[s] >> 7 for s in range(GROUPS)]
+        copies = [pltpu.make_async_copy(
+            stream_ref.at[s, pl.ds(base_row[s], WROWS), :],
+            window.at[s], sem.at[s]) for s in range(GROUPS)]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+        @pl.when(g == 0)
+        def _():
+            states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
+            for i in range(256):
+                tree_v[i] = tree_tbl[i]
+            queue[0] = window[:, 2, :]
+            queue[1] = window[:, 3, :]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
+        base_v = jnp.stack(base_row)[:, None]
+        consumed = jnp.stack([pword[s] for s in range(GROUPS)])[:, None]
+        consumed = jnp.where(g == 0, 256, consumed)
+        vcnt = jnp.stack([vq[s] for s in range(GROUPS)])[:, None]
+        vcnt = jnp.where(g == 0, 256, vcnt)
+        q0, q1 = queue[0], queue[1]
+        state = states[:, :]
+        tree = [tree_v[i] for i in range(256)]
+
+        def fetch(state, q0, q1, vcnt, consumed):
+            need = state < ANS_LOW
+            needi = need.astype(jnp.int32)
+            rank = K_._prefix_sum_lanes(needi)
+            word = K_._barrel_gather(q0, lane - rank)
+            state = jnp.where(need, (state << 16) | word, state)
+            cnt = jnp.sum(needi, axis=1, keepdims=True)
+            q0, q1 = K_._shift_pair_left(q0, q1, cnt, lane)
+            vcnt = vcnt - cnt
+            consumed = consumed + cnt
+            refill = vcnt <= 128
+            fillrel = (consumed + vcnt) >> 7
+            fillrel = fillrel - base_v
+            row = K_._select_dyn([window[:, w, :] for w in range(WROWS)],
+                                 fillrel)
+            rs = K_._rot_right(row, vcnt & 127)
+            q0 = jnp.where(refill & (lane >= vcnt), rs, q0)
+            q1 = jnp.where(refill & (lane < vcnt), rs, q1)
+            vcnt = jnp.where(refill, vcnt + 128, vcnt)
+            return state, q0, q1, vcnt, consumed
+
+        for t in range(CHUNK):
+            value = state & (TOTAL - 1)
+            low, w, hi = _hi_descend_value(tree, value)
+            state = w * (state >> RC_BITS) + value - low
+            state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
+
+            value = state & (TOTAL - 1)
+            low, w, lo4 = _lo_descend_value(tree, hi, value)
+            state = w * (state >> RC_BITS) + value - low
+            state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
+
+            out_ref[t] = (hi << 4) | lo4
+
+        states[:, :] = state
+        fstate_ref[:, :] = state
+        queue[0] = q0
+        queue[1] = q1
         for i in range(256):
-            tree_v[i] = tree_tbl[i]
-        queue[0] = window[:, 2, :]
-        queue[1] = window[:, 3, :]
+            tree_v[i] = tree[i]
+        for s in range(GROUPS):
+            pword[s] = consumed[s, 0]
+            vq[s] = vcnt[s, 0]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
-    base_v = jnp.stack(base_row)[:, None]
-    consumed = jnp.stack([pword[s] for s in range(GROUPS)])[:, None]
-    consumed = jnp.where(g == 0, 256, consumed)
-    vcnt = jnp.stack([vq[s] for s in range(GROUPS)])[:, None]
-    vcnt = jnp.where(g == 0, 256, vcnt)
-    q0, q1 = queue[0], queue[1]
-    state = states[:, :]
-    tree = [tree_v[i] for i in range(256)]
-
-    def fetch(state, q0, q1, vcnt, consumed):
-        need = state < ANS_LOW
-        needi = need.astype(jnp.int32)
-        rank = K_._prefix_sum_lanes(needi)
-        word = K_._barrel_gather(q0, lane - rank)
-        state = jnp.where(need, (state << 16) | word, state)
-        cnt = jnp.sum(needi, axis=1, keepdims=True)
-        q0, q1 = K_._shift_pair_left(q0, q1, cnt, lane)
-        vcnt = vcnt - cnt
-        consumed = consumed + cnt
-        refill = vcnt <= 128
-        fillrel = (consumed + vcnt) >> 7
-        fillrel = fillrel - base_v
-        row = K_._select_dyn([window[:, w, :] for w in range(WROWS)],
-                             fillrel)
-        rs = K_._rot_right(row, vcnt & 127)
-        q0 = jnp.where(refill & (lane >= vcnt), rs, q0)
-        q1 = jnp.where(refill & (lane < vcnt), rs, q1)
-        vcnt = jnp.where(refill, vcnt + 128, vcnt)
-        return state, q0, q1, vcnt, consumed
-
-    for t in range(CHUNK):
-        value = state & (TOTAL - 1)
-        low, w, hi = _hi_descend_value(tree, value)
-        state = w * (state >> RC_BITS) + value - low
-        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
-
-        value = state & (TOTAL - 1)
-        low, w, lo4 = _lo_descend_value(tree, hi, value)
-        state = w * (state >> RC_BITS) + value - low
-        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
-
-        out_ref[t] = (hi << 4) | lo4
-
-    states[:, :] = state
-    fstate_ref[:, :] = state
-    queue[0] = q0
-    queue[1] = q1
-    for i in range(256):
-        tree_v[i] = tree[i]
-    for s in range(GROUPS):
-        pword[s] = consumed[s, 0]
-        vq[s] = vcnt[s, 0]
+    return _tree_decode_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def decode_tile(gstreams: jnp.ndarray, K: int, tree_tbl: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
+def decode_tile(gstreams: jnp.ndarray, K: int, tree_tbl: jnp.ndarray,
+                geom: Geom = DEFAULT):
     """gstreams [GROUPS, R, 128] -> (bytes [K, GROUPS, 128], final states).
 
     tree_tbl [256] int32: warm-start node probabilities (row 0 unused)."""
-    assert K % CHUNK == 0
+    g = geom
+    assert K % g.chunk == 0
     tree_b = jnp.broadcast_to(tree_tbl[:, None, None],
-                              (256, GROUPS, GLANES))
+                              (256, g.groups, GLANES))
     return pl.pallas_call(
-        _tree_decode_kernel,
-        grid=(K // CHUNK,),
+        _make_tree_decode_kernel(g),
+        grid=(K // g.chunk,),
         in_specs=[
-            pl.BlockSpec((256, GROUPS, GLANES), lambda i: (0, 0, 0),
+            pl.BlockSpec((256, g.groups, GLANES), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[pl.BlockSpec((CHUNK, GROUPS, GLANES),
+        out_specs=[pl.BlockSpec((g.chunk, g.groups, GLANES),
                                 lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
+                   pl.BlockSpec((g.groups, GLANES), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((K, GROUPS, GLANES), jnp.int32),
-                   jax.ShapeDtypeStruct((GROUPS, GLANES), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((K, g.groups, GLANES), jnp.int32),
+                   jax.ShapeDtypeStruct((g.groups, GLANES), jnp.int32)],
         scratch_shapes=[
-            pltpu.VMEM((GROUPS, GLANES), jnp.int32),          # states
-            pltpu.VMEM((256, GROUPS, GLANES), jnp.int32),     # tree
-            pltpu.VMEM((2, GROUPS, GLANES), jnp.int32),       # queue
-            pltpu.VMEM((GROUPS, WROWS, GLANES), jnp.int32),   # window
-            pltpu.SMEM((GROUPS,), jnp.int32),                 # pword
-            pltpu.SMEM((GROUPS,), jnp.int32),                 # vq
-            pltpu.SemaphoreType.DMA((GROUPS,)),
+            pltpu.VMEM((g.groups, GLANES), jnp.int32),          # states
+            pltpu.VMEM((256, g.groups, GLANES), jnp.int32),     # tree
+            pltpu.VMEM((2, g.groups, GLANES), jnp.int32),       # queue
+            pltpu.VMEM((g.groups, g.wrows, GLANES), jnp.int32),  # window
+            pltpu.SMEM((g.groups,), jnp.int32),                 # pword
+            pltpu.SMEM((g.groups,), jnp.int32),                 # vq
+            pltpu.SemaphoreType.DMA((g.groups,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -322,77 +330,62 @@ def decode_tile(gstreams: jnp.ndarray, K: int, tree_tbl: jnp.ndarray):
 # encode: forward model kernel -> coder kernel -> placement (both reused)
 # ---------------------------------------------------------------------------
 
-def _tree_model_kernel(tree_tbl, block_ref, probs_ref, tree_v):
-    g = pl.program_id(0)
+def _make_tree_model_kernel(geom: Geom):
+    def _tree_model_kernel(tree_tbl, block_ref, probs_ref, tree_v):
+        g = pl.program_id(0)
 
-    @pl.when(g == 0)
-    def _():
+        @pl.when(g == 0)
+        def _():
+            for i in range(256):
+                tree_v[i] = tree_tbl[i]
+
+        tree = [tree_v[i] for i in range(256)]
+        for t in range(geom.chunk):
+            b = block_ref[t]
+            low, w, hi = _hi_descend_known(tree, b)
+            probs_ref[2 * t] = (low << 16) | w
+            low, w, _lo4 = _lo_descend_known(tree, hi, b)
+            probs_ref[2 * t + 1] = (low << 16) | w
         for i in range(256):
-            tree_v[i] = tree_tbl[i]
+            tree_v[i] = tree[i]
 
-    tree = [tree_v[i] for i in range(256)]
-    for t in range(CHUNK):
-        b = block_ref[t]
-        low, w, hi = _hi_descend_known(tree, b)
-        probs_ref[2 * t] = (low << 16) | w
-        low, w, _lo4 = _lo_descend_known(tree, hi, b)
-        probs_ref[2 * t + 1] = (low << 16) | w
-    for i in range(256):
-        tree_v[i] = tree[i]
+    return _tree_model_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
 def encode_tile_pallas(block: jnp.ndarray, K: int, tree_tbl: jnp.ndarray,
-                       init_states: jnp.ndarray | None = None):
+                       init_states: jnp.ndarray | None = None,
+                       geom: Geom = DEFAULT):
     """block [LANES, K] -> (gstreams, glens) via the Pallas passes."""
-    assert K % CHUNK == 0
+    g = geom
+    assert K % g.chunk == 0
     block = block.astype(jnp.int32)
     if init_states is None:
-        init_states = jnp.full((GROUPS, GLANES), ANS_LOW, jnp.int32)
+        init_states = jnp.full((g.groups, GLANES), ANS_LOW, jnp.int32)
     tree_b = jnp.broadcast_to(tree_tbl[:, None, None],
-                              (256, GROUPS, GLANES))
-    cols = block.T.reshape(K, GROUPS, GLANES)
+                              (256, g.groups, GLANES))
+    cols = block.T.reshape(K, g.groups, GLANES)
     probs = pl.pallas_call(
-        _tree_model_kernel,
-        grid=(K // CHUNK,),
+        _make_tree_model_kernel(g),
+        grid=(K // g.chunk,),
         in_specs=[
-            pl.BlockSpec((256, GROUPS, GLANES), lambda i: (0, 0, 0),
+            pl.BlockSpec((256, g.groups, GLANES), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, GROUPS, GLANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((g.chunk, g.groups, GLANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+        out_specs=pl.BlockSpec((2 * g.chunk, g.groups, GLANES),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * K, GROUPS, GLANES), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((256, GROUPS, GLANES), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((2 * K, g.groups, GLANES),
+                                       jnp.int32),
+        scratch_shapes=[pltpu.VMEM((256, g.groups, GLANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
     )(tree_b, cols)
 
-    n = K // CHUNK
-    words, emit, state = pl.pallas_call(
-        K_._coder_kernel,
-        grid=(n,),
-        in_specs=[pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
-                               lambda i: (n - 1 - i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
-                                lambda i: (n - 1 - i, 0, 0),
-                                memory_space=pltpu.VMEM)] * 2 + [
-            pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((2 * K, GROUPS, GLANES), jnp.int32)]
-        * 2 + [jax.ShapeDtypeStruct((GROUPS, GLANES), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((GROUPS, GLANES), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
-        interpret=INTERPRET,
-    )(init_states, probs)
-    return K_.place_tile(words, emit, state, K)
+    return K_.coder_and_place(probs, init_states, K, geom=geom)
 
 
 # ---------------------------------------------------------------------------
@@ -401,14 +394,15 @@ def encode_tile_pallas(block: jnp.ndarray, K: int, tree_tbl: jnp.ndarray,
 # streams via rans.encode_backward + the flagship's stitch.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
 def encode_tile(block: jnp.ndarray, K: int, tree_tbl: jnp.ndarray,
-                init_states: jnp.ndarray | None = None):
+                init_states: jnp.ndarray | None = None,
+                geom: Geom = DEFAULT):
     from turborc_tpu.ops import rans
 
     block = block.astype(jnp.int32)
     L = block.shape[0]
-    assert L == LANES
+    assert L == geom.lanes
     tree0 = jnp.broadcast_to(tree_tbl[None, :], (L, 256))
     lanes_idx = jnp.arange(L, dtype=jnp.int32)
 
@@ -447,9 +441,9 @@ def encode_tile(block: jnp.ndarray, K: int, tree_tbl: jnp.ndarray,
                                               init_state=init)
     S = 2 * K
     return K_._group_stitch(
-        words.astype(jnp.int32).reshape(S, GROUPS, GLANES),
-        emit.reshape(S, GROUPS, GLANES),
-        state.reshape(GROUPS, GLANES))
+        words.astype(jnp.int32).reshape(S, geom.groups, GLANES),
+        emit.reshape(S, geom.groups, GLANES),
+        state.reshape(geom.groups, GLANES), geom)
 
 
 # ---------------------------------------------------------------------------

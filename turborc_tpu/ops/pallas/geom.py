@@ -1,0 +1,110 @@
+"""Kernel/format geometry for the flagship rANS family.
+
+Every field is FORMAT-RELEVANT: payloads written at one geometry decode
+only at the same geometry (group count sets the stream/length-table
+layout; share/sync/lsync/arows/srows set the model trajectory; chunk
+sets grid-step alignment of the cold-row sync).  Round 2 carried these
+as env-var module constants, which meant a container written under
+non-default knobs could not decode in a fresh default process (VERDICT
+round-2 coverage #58).  Round 3 threads a frozen Geom through the
+kernels and codecs as a static argument and records it in the container
+header (format v3), so the env vars only pick the DEFAULT geometry.
+
+Reference analog: the reference bakes its knobs at compile time
+(RC_BITS/RC_IO etc., turborc_.h:40-82) and records codec/lev/prm in the
+file header (turborc.c:666-683); geometry-in-header plays that role.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class Geom:
+    """Flagship kernel geometry (all format-relevant)."""
+    groups: int = 64   # 128-lane sublane rows per tile (stream count)
+    chunk: int = 8     # byte steps per grid step (kernel-internal align)
+    share: int = 8     # lanes per shared model span (1 = per-lane models)
+    sync: int = 4      # bytes between hot-row cross-lane re-joins
+    lsync: int = 32    # bytes between cold-row re-joins
+    arows: int = 16    # adaptive lo-table rows (>= arows are static)
+    srows: int = 4     # lo rows re-joined at the fast cadence
+
+    def __post_init__(self):
+        assert self.groups >= 1 and self.chunk >= 1
+        assert self.share >= 1 and self.share & (self.share - 1) == 0 \
+            and self.share <= 128, "share must be a power of 2 <= 128"
+        assert self.chunk % self.sync == 0, \
+            "sync cadence must divide the grid-step chunk"
+        assert self.lsync % self.chunk == 0 and self.lsync % self.sync == 0, \
+            "cold-row cadence must be a multiple of the grid-step chunk"
+        assert 0 <= self.arows <= 16
+
+    # ---- derived (not independent format knobs)
+    @property
+    def glanes(self) -> int:
+        return 128
+
+    @property
+    def lanes(self) -> int:
+        return self.groups * 128
+
+    @property
+    def wrows(self) -> int:
+        return 2 * self.chunk + 8   # stream window rows per group
+
+    @property
+    def prows(self) -> int:
+        return 2 * self.chunk + 4   # placement window rows
+
+    @property
+    def hrows(self) -> int:
+        return min(self.srows, self.arows)
+
+    @property
+    def crows(self) -> int:
+        return max(self.arows, 1)   # lo scratch rows (>=1 keeps shapes)
+
+    @property
+    def lsync_steps(self) -> int:
+        return self.lsync // self.chunk
+
+    @property
+    def step_quant(self) -> int:
+        """Per-lane symbol count alignment (grid step AND cold sync)."""
+        return max(self.chunk, self.lsync)
+
+    # ---- container header wire format (4 bytes; format v3)
+    WIRE_LEN = 4
+
+    def pack(self) -> bytes:
+        a = ((self.groups.bit_length() - 1)
+             | ((self.chunk.bit_length() - 1) << 4))
+        b = ((self.share.bit_length() - 1)
+             | ((self.sync.bit_length() - 1) << 3))
+        c = (self.lsync.bit_length() - 1) | (self.srows << 3)
+        d = self.arows
+        return bytes([a, b, c, d])
+
+    @classmethod
+    def unpack(cls, raw: bytes) -> "Geom":
+        if len(raw) != cls.WIRE_LEN:
+            raise ValueError("corrupt container: bad geometry field")
+        a, b, c, d = raw
+        return cls(groups=1 << (a & 15), chunk=1 << (a >> 4),
+                   share=1 << (b & 7), sync=1 << ((b >> 3) & 7),
+                   lsync=1 << (c & 7), srows=c >> 3, arows=d)
+
+
+def from_env() -> Geom:
+    """Default geometry from the TRC_* env knobs (round-2 compat)."""
+    return Geom(groups=int(os.environ.get("TRC_GROUPS", "64")),
+                chunk=int(os.environ.get("TRC_CHUNK", "8")),
+                share=int(os.environ.get("TRC_SHARE", "8")),
+                sync=int(os.environ.get("TRC_SYNC", "4")),
+                lsync=int(os.environ.get("TRC_LSYNC", "32")),
+                arows=int(os.environ.get("TRC_AROWS", "16")))
+
+
+DEFAULT = from_env()

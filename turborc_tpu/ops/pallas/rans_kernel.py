@@ -4,11 +4,11 @@ Hardware constraints probed on this chip: no vector gathers, no unaligned
 minor-dim dynamic slices, no int16 vregs - but dynamic-offset DMA
 (HBM->VMEM) and pltpu.roll work.  The kernels are built gather-free.
 
-DECODE.  GROUPS x 128 VPU lanes (8192 on v5e).  Each group owns one
-stream in *consumption order*: words appear exactly in the order the
-group's lanes renorm (step-major, lane-minor), so each nibble step reads a
-contiguous word run.  Group stream layout [R rows, 128]: rows 0-1 are the
-per-lane initial states (hi16, lo16), data words follow row-major.
+DECODE.  GROUPS x 128 VPU lanes (8192 on v5e at groups=64).  Each group
+owns one stream in *consumption order*: words appear exactly in the order
+the group's lanes renorm (step-major, lane-minor), so each nibble step
+reads a contiguous word run.  Group stream layout [R rows, 128]: rows 0-1
+are the per-lane initial states (hi16, lo16), data words follow row-major.
 Per nibble step:
 
   1. CDF16 search + state transition: elementwise 16-wide int32 VPU math
@@ -26,7 +26,19 @@ with division as exact base-256 long division in f32 (the reference's
 reciprocal-multiplication DIVTDIV32, turborc_.h:163-196, plays the same
 role), and a placement kernel that compacts per-slot emissions into the
 consumption-order streams via log-depth barrel compaction (see
-_place_kernel).
+_make_place_kernel).
+
+GEOMETRY (round 3): every format-relevant knob rides in a frozen Geom
+(ops/pallas/geom.py) passed as a static argument; the TRC_* env vars set
+only the DEFAULT geometry.  Model sharing: geom.share adjacent lanes
+share one adaptive model pair over a contiguous share*K-byte span (lane
+j of a set decodes bytes t*share + j), each lane updates its own copy
+immediately and copies re-join every geom.sync bytes as repair(start +
+sum of per-copy diffs), a log2(share) butterfly.  Tiered sync: the
+frequency-rank remap concentrates hi nibbles in the low lo-table rows by
+construction, so only rows < geom.srows re-join every sync; rows >=
+srows re-join every geom.lsync bytes; rows >= geom.arows are fully
+static (no update, no sync, no write-back).
 """
 from __future__ import annotations
 
@@ -39,6 +51,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from turborc_tpu.ops.pallas.geom import DEFAULT, Geom
+
 RC_BITS = 15
 TOTAL = 1 << RC_BITS
 ANS_LOW = 1 << 15
@@ -46,59 +60,21 @@ CDFRATE = 7
 IC = 10
 MIXD = (TOTAL - 1) & ~31
 
-# Tile geometry, swept on v5e: the kernels are LATENCY-bound (serial
-# dependency chains per nibble), so wider tiles are nearly free
-# throughput - 64 groups decodes ~1.5x faster than 32 at equal clock.
-# GROUPS is part of the stream format (per-group length table + streams);
-# CHUNK is kernel-internal.  Env knobs allow geometry sweeps without
-# editing the module (values are baked into the payload format).
-GROUPS = int(os.environ.get("TRC_GROUPS", "64"))  # sublane rows per tile op
+# Default-geometry aliases (round-2 compat for importers; the kernels
+# themselves take a Geom).  Tile geometry swept on v5e: the kernels are
+# LATENCY-bound (serial dependency chains per nibble), so wider tiles
+# are nearly free throughput.
+GROUPS = DEFAULT.groups
 GLANES = 128
-LANES = GROUPS * GLANES      # lanes per kernel tile (8192 at GROUPS=64)
-CHUNK = int(os.environ.get("TRC_CHUNK", "8"))  # byte steps per grid step
-WROWS = 2 * CHUNK + 8        # stream window rows per group
-
-# Model sharing (round-2 ratio design, see codecs/rans_cdf_s8.py): SHARE
-# adjacent lanes share one adaptive model pair over a contiguous
-# SHARE*K-byte span (lane j of a set decodes bytes t*SHARE + j).  Each
-# lane updates its own table copy immediately with its own symbols;
-# every SYNC bytes the copies re-join as repair(start + sum of per-copy
-# diffs), a log2(SHARE) butterfly reduction.  Cuts the per-lane
-# adaptation ramp - the whole round-1 ratio gap - by ~SHARE.
-SHARE = int(os.environ.get("TRC_SHARE", "8"))
-
-# Cross-lane sync cadence in bytes (must divide CHUNK).  Measured on the
-# 64MB corpus (bench/modelcost.py chunk variants): sync=2 even beats
-# per-byte batching (2.1824 bits/B), sync=4 matches it (2.1837), sync=8
-# loses 0.005 bits/B (2.1885).  Smaller SYNC costs more butterfly work
-# per byte - 4 is the ratio/speed default.
-SYNC = int(os.environ.get("TRC_SYNC", "4"))
-
-# Tiered lo-table sync (round-2 speed design): ablation measured the
-# sync butterflies at 63% of decode time (338 vs 926 MB/s with sync
-# ablated, SYNC=4), almost all of it the 256-entry lo table.  The
-# frequency-rank remap concentrates hi nibbles in the low rows BY
-# CONSTRUCTION (rows 0-3 carry 100% of a 64-symbol alphabet, >=92% of
-# enwik-like bytes), so only rows < SROWS re-join every SYNC; rows >=
-# SROWS re-join every LSYNC bytes.  On corpora whose remapped alphabet
-# fits 64 symbols the trajectories are BIT-IDENTICAL to full sync (cold
-# diffs are zero); on full-256 data the measured cost is ~0.01 bit/B
-# (bench/modelcost.py chunk<k>t<lsync> variants).
-SROWS = 4
-LSYNC = int(os.environ.get("TRC_LSYNC", "32"))
-
-# Adaptive lo-table rows (format knob): rows >= AROWS are fully STATIC -
-# no per-byte update, no write-back, no sync, no start buffer.  The
-# remap concentrates hi nibbles in the low rows (see SROWS), so static
-# cold rows ride the per-group warm tables alone.  AROWS=16 is the full
-# adaptive table (round-2 shipped format); AROWS=4 removes the 16-row
-# write-back (256 wheres/byte -> 64), the cold-row LSYNC re-joins, and
-# shrinks the lo scratch from 2x16 to 2xAROWS rows (33+33 MB -> 4+4 MB
-# at GROUPS=64), the VMEM headroom for wider GROUPS.
-AROWS = int(os.environ.get("TRC_AROWS", "16"))
-assert 0 <= AROWS <= 16
-HROWS = min(SROWS, AROWS)       # rows re-joined at the fast cadence
-CROWS = max(AROWS, 1)           # lo scratch rows (>=1 keeps shapes valid)
+LANES = DEFAULT.lanes
+CHUNK = DEFAULT.chunk
+WROWS = DEFAULT.wrows
+SHARE = DEFAULT.share
+SYNC = DEFAULT.sync
+SROWS = DEFAULT.srows
+LSYNC = DEFAULT.lsync
+AROWS = DEFAULT.arows
+PROWS = DEFAULT.prows
 
 # Interpret mode (tests): runs every pallas_call op-by-op on CPU.  Only
 # practical at tiny geometry (TRC_GROUPS=2), which is how CI covers the
@@ -110,11 +86,6 @@ INTERPRET = bool(int(os.environ.get("TRC_INTERPRET", "0")))
 # to skip in the decode kernel.
 ABLATE = frozenset(filter(None,
                           os.environ.get("TRC_ABLATE", "").split(",")))
-
-assert CHUNK % SYNC == 0, "sync cadence must divide the grid-step chunk"
-assert LSYNC % CHUNK == 0 and LSYNC % SYNC == 0, \
-    "cold-row cadence must be a multiple of the grid-step chunk"
-LSYNC_STEPS = LSYNC // CHUNK  # grid steps between cold-row re-joins
 
 
 def _treesum(parts):
@@ -232,13 +203,13 @@ def _cdf_update(cdf, low):
     return [cdf[i] + d[i] for i in range(16)]
 
 
-def _set_sum(x, lane):
-    """Butterfly sum within aligned SHARE-lane sets along the lane axis.
+def _set_sum(x, lane, share):
+    """Butterfly sum within aligned share-lane sets along the lane axis.
 
     XOR-partner exchange: stage k pairs lane with lane^k; roll(x, k)[l]
     = x[l-k] serves the (lane & k) half, roll(x, 128-k) the other.  Sets
     are aligned so partners never cross set boundaries."""
-    for k in range(1, SHARE):
+    for k in range(1, share):
         if k & (k - 1):
             continue
         px = jnp.where((lane & k) != 0, pltpu.roll(x, k, 1),
@@ -247,11 +218,11 @@ def _set_sum(x, lane):
     return x
 
 
-def _rejoin_rows(cdf_lo, start_lo, lane, rows):
-    """Re-join the given lo-table rows across each SHARE-lane set:
+def _rejoin_rows(cdf_lo, start_lo, lane, rows, share):
+    """Re-join the given lo-table rows across each share-lane set:
     repair(clamp(start + sum of per-copy diffs)), writing both buffers."""
     for h in rows:
-        dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane)
+        dsum = [_set_sum(cdf_lo[h, i] - start_lo[h, i], lane, share)
                 for i in range(16)]
         new_r = _clamp16(_repair16(
             [start_lo[h, i] + dsum[i] for i in range(16)]))
@@ -276,26 +247,27 @@ def _dec_search(state, cdf):
 # rccdf.c:50-68, plays the same role for its static codecs).  The tables
 # arrive pre-broadcast as VMEM inputs [16, G, 128] / [16, 16, G, 128].
 
-def _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl, start_lo=None):
+def _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl, arows, start_lo=None):
     for i in range(16):
         cdf_hi[i] = hi_tbl[i]
-        for h in range(AROWS):
+        for h in range(arows):
             cdf_lo[h, i] = lo_tbl[h, i]
             if start_lo is not None:
                 start_lo[h, i] = lo_tbl[h, i]
 
 
-def _broadcast_tables(hi_tbl, lo_tbl):
+def _broadcast_tables(hi_tbl, lo_tbl, g: Geom):
     """[16, G] / [16, 16, G] int32 -> VMEM-shaped per-lane broadcasts."""
-    hi = jnp.broadcast_to(hi_tbl[:, :, None], (16, GROUPS, GLANES))
-    lo = jnp.broadcast_to(lo_tbl[:, :, :, None], (16, 16, GROUPS, GLANES))
+    hi = jnp.broadcast_to(hi_tbl[:, :, None], (16, g.groups, GLANES))
+    lo = jnp.broadcast_to(lo_tbl[:, :, :, None],
+                          (16, 16, g.groups, GLANES))
     return hi, lo
 
 
-def _default_tables():
+def _default_tables(g: Geom):
     stair = jnp.arange(16, dtype=jnp.int32) << (RC_BITS - 4)
-    hi = jnp.broadcast_to(stair[:, None], (16, GROUPS))
-    lo = jnp.broadcast_to(stair[None, :, None], (16, 16, GROUPS))
+    hi = jnp.broadcast_to(stair[:, None], (16, g.groups))
+    lo = jnp.broadcast_to(stair[None, :, None], (16, 16, g.groups))
     return hi, lo
 
 
@@ -371,6 +343,8 @@ def _shift_pair_left(q0, q1, c, lane):
 def _make_fetch(window, base_v, lane):
     """Build the per-step word-fetch closure over a kernel's stream
     window (shared by the o0 and o1 decode kernels)."""
+    wrows = window.shape[1]
+
     def fetch(state, q0, q1, vcnt, consumed):
         need = state < ANS_LOW
         needi = need.astype(jnp.int32)
@@ -387,7 +361,7 @@ def _make_fetch(window, base_v, lane):
         refill = vcnt <= 128
         fillrel = (consumed + vcnt) >> 7
         fillrel = fillrel - base_v  # row to append, window-relative
-        row = _select_dyn([window[:, w, :] for w in range(WROWS)], fillrel)
+        row = _select_dyn([window[:, w, :] for w in range(wrows)], fillrel)
         rs = _rot_right(row, vcnt & 127)
         q0 = jnp.where(refill & (lane >= vcnt), rs, q0)
         q1 = jnp.where(refill & (lane < vcnt), rs, q1)
@@ -396,167 +370,180 @@ def _make_fetch(window, base_v, lane):
     return fetch
 
 
-def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
-                   states, cdf_hi, cdf_lo, start_lo, queue, window, pword,
-                   vq, sem):
-    """Queue-based decode: the next 256 unconsumed words of each group
-    live in two register tiles (queue); the per-fetch word distribution
-    is a 7-stage barrel gather (monotone rank distances) instead of a
-    128-way roll-select, and dequeue/refill are per-group-constant
-    rotations.  The VMEM window keeps feeding the queue one row at a
-    time; it slides by DMA once per grid step as before."""
-    g = pl.program_id(0)
+def _make_decode_kernel(g: Geom):
+    def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
+                       states, cdf_hi, cdf_lo, start_lo, queue, window,
+                       pword, vq, sem):
+        """Queue-based decode: the next 256 unconsumed words of each
+        group live in two register tiles (queue); the per-fetch word
+        distribution is a 7-stage barrel gather (monotone rank
+        distances) instead of a 128-way roll-select, and dequeue/refill
+        are per-group-constant rotations.  The VMEM window keeps feeding
+        the queue one row at a time; it slides by DMA once per grid
+        step."""
+        gi = pl.program_id(0)
 
-    @pl.when(g == 0)
-    def _():
-        for s in range(GROUPS):
-            pword[s] = 0
+        @pl.when(gi == 0)
+        def _():
+            for s in range(g.groups):
+                pword[s] = 0
 
-    # ---- slide the stream windows (base = current consumed row)
-    base_row = [pword[s] >> 7 for s in range(GROUPS)]
-    copies = [pltpu.make_async_copy(
-        stream_ref.at[s, pl.ds(base_row[s], WROWS), :],
-        window.at[s], sem.at[s]) for s in range(GROUPS)]
-    for cp in copies:
-        cp.start()
-    for cp in copies:
-        cp.wait()
+        # ---- slide the stream windows (base = current consumed row)
+        base_row = [pword[s] >> 7 for s in range(g.groups)]
+        copies = [pltpu.make_async_copy(
+            stream_ref.at[s, pl.ds(base_row[s], g.wrows), :],
+            window.at[s], sem.at[s]) for s in range(g.groups)]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
 
-    @pl.when(g == 0)
-    def _():
-        states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
-        _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl,
-                     start_lo if SHARE > 1 else None)
-        queue[0] = window[:, 2, :]
-        queue[1] = window[:, 3, :]
+        @pl.when(gi == 0)
+        def _():
+            states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
+            _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl, g.arows,
+                         start_lo if g.share > 1 else None)
+            queue[0] = window[:, 2, :]
+            queue[1] = window[:, 3, :]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
-    base_v = jnp.stack(base_row)[:, None]           # (G,1) window base row
-    # absolute queue-head position (the 2 flush-state rows count as
-    # consumed, so the head starts at word 256 with rows 2-3 queued);
-    # pword persists the head, which also drives the window DMA base
-    consumed = jnp.stack([pword[s] for s in range(GROUPS)])[:, None]
-    consumed = jnp.where(g == 0, 256, consumed)
-    vcnt = jnp.stack([vq[s] for s in range(GROUPS)])[:, None]
-    vcnt = jnp.where(g == 0, 256, vcnt)  # valid words in queue, in (128,256]
-    q0, q1 = queue[0], queue[1]
-    state = states[:, :]
-    hi_t = [cdf_hi[i] for i in range(16)]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g.groups, GLANES), 1)
+        base_v = jnp.stack(base_row)[:, None]       # (G,1) window base row
+        # absolute queue-head position (the 2 flush-state rows count as
+        # consumed, so the head starts at word 256 with rows 2-3 queued);
+        # pword persists the head, which also drives the window DMA base
+        consumed = jnp.stack([pword[s] for s in range(g.groups)])[:, None]
+        consumed = jnp.where(gi == 0, 256, consumed)
+        vcnt = jnp.stack([vq[s] for s in range(g.groups)])[:, None]
+        vcnt = jnp.where(gi == 0, 256, vcnt)  # valid queue words (128,256]
+        q0, q1 = queue[0], queue[1]
+        state = states[:, :]
+        hi_t = [cdf_hi[i] for i in range(16)]
 
-    fetch = _make_fetch(window, base_v, lane)
+        fetch = _make_fetch(window, base_v, lane)
 
-    start_hi = hi_t
-    for t in range(CHUNK):
-        # ---- hi nibble (own copy, immediate own update)
-        state, hi, low_h = _dec_search(state, hi_t)
-        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
-        hi_t = _cdf_update(hi_t, low_h)
-
-        # ---- lo nibble: context-select the row (binary-tree select on
-        # hi's bits: 15 wheres/entry, no adds), decode, write back
-        hb = _idx_bits(hi)
-        if "rowsel" in ABLATE:
-            row_t = [cdf_lo[0, i] for i in range(16)]
-        else:
-            row_t = [_select16([cdf_lo[h, i] if h < AROWS else lo_tbl[h, i]
-                                for h in range(16)], *hb)
-                     for i in range(16)]
-        state, lo, low_l = _dec_search(state, row_t)
-        if "fetch" in ABLATE:
-            state = jnp.where(state < ANS_LOW, state | (1 << 20), state)
-        else:
+        start_hi = hi_t
+        for t in range(g.chunk):
+            # ---- hi nibble (own copy, immediate own update)
+            state, hi, low_h = _dec_search(state, hi_t)
             state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
                                                   consumed)
-        new_row = _cdf_update(row_t, low_l)
-        if "wb" not in ABLATE:
-            for h in range(AROWS):
-                hit = hi == h
-                for i in range(16):
-                    cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
+            hi_t = _cdf_update(hi_t, low_h)
 
-        out_ref[t] = (hi << 4) | lo
+            # ---- lo nibble: context-select the row (binary-tree select
+            # on hi's bits: 15 wheres/entry, no adds), decode, write back
+            hb = _idx_bits(hi)
+            if "rowsel" in ABLATE:
+                row_t = [cdf_lo[0, i] for i in range(16)]
+            else:
+                row_t = [_select16(
+                    [cdf_lo[h, i] if h < g.arows else lo_tbl[h, i]
+                     for h in range(16)], *hb)
+                    for i in range(16)]
+            state, lo, low_l = _dec_search(state, row_t)
+            if "fetch" in ABLATE:
+                state = jnp.where(state < ANS_LOW, state | (1 << 20), state)
+            else:
+                state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
+                                                      consumed)
+            new_row = _cdf_update(row_t, low_l)
+            if "wb" not in ABLATE:
+                for h in range(g.arows):
+                    hit = hi == h
+                    for i in range(16):
+                        cdf_lo[h, i] = jnp.where(hit, new_row[i],
+                                                 cdf_lo[h, i])
 
-        # ---- cross-lane sync: copies re-join as repair(start + sum of
-        # set diffs since the last sync).  start_lo always holds the
-        # last sync state (the sync writes BOTH buffers; no snapshot
-        # copies), hi snapshots live in registers.  The repair+clamp at
-        # sync is load-bearing: leaving rows unrepaired feeds the repair
-        # lift back into the next diff sum, a xSHARE positive feedback
-        # that balloons the tables (measured: ratio 27.4% -> 40.7%).
-        # Tiered: only the hot lo rows (< SROWS) re-join here; cold rows
-        # re-join once per LSYNC bytes below.
-        if SHARE > 1 and t % SYNC == SYNC - 1 and "sync" not in ABLATE:
-            d = [_set_sum(hi_t[i] - start_hi[i], lane) for i in range(16)]
-            hi_t = _clamp16(_repair16([start_hi[i] + d[i]
-                                       for i in range(16)]))
-            start_hi = hi_t
-            if "losync" not in ABLATE:
-                _rejoin_rows(cdf_lo, start_lo, lane, range(HROWS))
+            out_ref[t] = (hi << 4) | lo
 
-    # ---- cold-row re-join at the LSYNC boundary (grid-step aligned;
-    # rows >= AROWS are static and never re-join)
-    if SHARE > 1 and AROWS > SROWS and "sync" not in ABLATE \
-            and "losync" not in ABLATE:
-        @pl.when((g + 1) % LSYNC_STEPS == 0)
-        def _():
-            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS, AROWS))
+            # ---- cross-lane sync: copies re-join as repair(start + sum
+            # of set diffs since the last sync).  start_lo always holds
+            # the last sync state (the sync writes BOTH buffers; no
+            # snapshot copies), hi snapshots live in registers.  The
+            # repair+clamp at sync is load-bearing: leaving rows
+            # unrepaired feeds the repair lift back into the next diff
+            # sum, a xSHARE positive feedback that balloons the tables
+            # (measured: ratio 27.4% -> 40.7%).  Tiered: only the hot lo
+            # rows (< srows) re-join here; cold rows re-join once per
+            # lsync bytes below.
+            if g.share > 1 and t % g.sync == g.sync - 1 \
+                    and "sync" not in ABLATE:
+                d = [_set_sum(hi_t[i] - start_hi[i], lane, g.share)
+                     for i in range(16)]
+                hi_t = _clamp16(_repair16([start_hi[i] + d[i]
+                                           for i in range(16)]))
+                start_hi = hi_t
+                if "losync" not in ABLATE:
+                    _rejoin_rows(cdf_lo, start_lo, lane, range(g.hrows),
+                                 g.share)
 
-    # ---- persist carry state (pword = absolute consumed position)
-    states[:, :] = state
-    fstate_ref[:, :] = state  # last grid step's write = final states
-    queue[0] = q0
-    queue[1] = q1
-    for i in range(16):
-        cdf_hi[i] = hi_t[i]
-    for s in range(GROUPS):
-        pword[s] = consumed[s, 0]
-        vq[s] = vcnt[s, 0]
+        # ---- cold-row re-join at the LSYNC boundary (grid-step aligned;
+        # rows >= arows are static and never re-join)
+        if g.share > 1 and g.arows > g.srows and "sync" not in ABLATE \
+                and "losync" not in ABLATE:
+            @pl.when((gi + 1) % g.lsync_steps == 0)
+            def _():
+                _rejoin_rows(cdf_lo, start_lo, lane,
+                             range(g.srows, g.arows), g.share)
+
+        # ---- persist carry state (pword = absolute consumed position)
+        states[:, :] = state
+        fstate_ref[:, :] = state  # last grid step's write = final states
+        queue[0] = q0
+        queue[1] = q1
+        for i in range(16):
+            cdf_hi[i] = hi_t[i]
+        for s in range(g.groups):
+            pword[s] = consumed[s, 0]
+            vq[s] = vcnt[s, 0]
+
+    return _decode_kernel
 
 
-
-@functools.partial(jax.jit, static_argnames=("K",))
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
 def decode_tile(gstreams: jnp.ndarray, K: int,
                 hi_tbl: jnp.ndarray | None = None,
-                lo_tbl: jnp.ndarray | None = None) -> jnp.ndarray:
+                lo_tbl: jnp.ndarray | None = None,
+                geom: Geom = DEFAULT) -> jnp.ndarray:
     """gstreams [GROUPS, R, GLANES] int32 (consumption-order + state rows,
-    padded with >= WROWS extra rows) -> (bytes [K, GROUPS, GLANES],
+    padded with >= geom.wrows extra rows) -> (bytes [K, GROUPS, GLANES],
     final_states [GROUPS, GLANES]) - the final states carry the 16-bit
     payload seeds (state seeding: final = ANS_LOW + seed).
 
     hi_tbl [16, GROUPS] / lo_tbl [16, 16, GROUPS] int32: per-group
     warm-start cumulative CDF tables (defaults: uniform staircase)."""
-    assert K % CHUNK == 0
+    g = geom
+    assert K % g.chunk == 0
     if hi_tbl is None:
-        hi_tbl, lo_tbl = _default_tables()
-    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl)
-    grid = K // CHUNK
+        hi_tbl, lo_tbl = _default_tables(g)
+    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl, g)
+    grid = K // g.chunk
     return pl.pallas_call(
-        _decode_kernel,
+        _make_decode_kernel(g),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((16, GROUPS, GLANES), lambda i: (0, 0, 0),
+            pl.BlockSpec((16, g.groups, GLANES), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16, GROUPS, GLANES), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16, g.groups, GLANES),
+                         lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[pl.BlockSpec((CHUNK, GROUPS, GLANES),
+        out_specs=[pl.BlockSpec((g.chunk, g.groups, GLANES),
                                 lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
+                   pl.BlockSpec((g.groups, GLANES), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((K, GROUPS, GLANES), jnp.int32),
-                   jax.ShapeDtypeStruct((GROUPS, GLANES), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((K, g.groups, GLANES), jnp.int32),
+                   jax.ShapeDtypeStruct((g.groups, GLANES), jnp.int32)],
         scratch_shapes=[
-            pltpu.VMEM((GROUPS, GLANES), jnp.int32),          # states
-            pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),      # cdf_hi
-            pltpu.VMEM((CROWS, 16, GROUPS, GLANES), jnp.int32),  # cdf_lo
-            pltpu.VMEM((CROWS, 16, GROUPS, GLANES), jnp.int32),  # start_lo
-            pltpu.VMEM((2, GROUPS, GLANES), jnp.int32),       # queue
-            pltpu.VMEM((GROUPS, WROWS, GLANES), jnp.int32),   # window
-            pltpu.SMEM((GROUPS,), jnp.int32),                 # pword
-            pltpu.SMEM((GROUPS,), jnp.int32),                 # vq
-            pltpu.SemaphoreType.DMA((GROUPS,)),
+            pltpu.VMEM((g.groups, GLANES), jnp.int32),          # states
+            pltpu.VMEM((16, g.groups, GLANES), jnp.int32),      # cdf_hi
+            pltpu.VMEM((g.crows, 16, g.groups, GLANES), jnp.int32),
+            pltpu.VMEM((g.crows, 16, g.groups, GLANES), jnp.int32),
+            pltpu.VMEM((2, g.groups, GLANES), jnp.int32),       # queue
+            pltpu.VMEM((g.groups, g.wrows, GLANES), jnp.int32),  # window
+            pltpu.SMEM((g.groups,), jnp.int32),                 # pword
+            pltpu.SMEM((g.groups,), jnp.int32),                 # vq
+            pltpu.SemaphoreType.DMA((g.groups,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -576,50 +563,57 @@ def _cdf_lookup(cdf, sym):
     return low, nxt - low
 
 
-def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo,
-                  start_lo):
-    """Forward model pass: per-nibble (low<<16 | freq) for the whole tile.
-    Mirrors _decode_kernel's update order exactly (immediate own updates
-    + end-of-grid-step cross-lane sync)."""
-    g = pl.program_id(0)
+def _make_model_kernel(g: Geom):
+    def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi,
+                      cdf_lo, start_lo):
+        """Forward model pass: per-nibble (low<<16 | freq) for the whole
+        tile.  Mirrors the decode kernel's update order exactly
+        (immediate own updates + end-of-grid-step cross-lane sync)."""
+        gi = pl.program_id(0)
 
-    @pl.when(g == 0)
-    def _():
-        _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl,
-                     start_lo if SHARE > 1 else None)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
-    hi_t = [cdf_hi[i] for i in range(16)]
-    start_hi = hi_t
-    for t in range(CHUNK):
-        b = block_ref[t]
-        hi, lo = b >> 4, b & 15
-        low_h, fr_h = _cdf_lookup(hi_t, hi)
-        hi_t = _cdf_update(hi_t, low_h)
-        hb = _idx_bits(hi)
-        row_t = [_select16([cdf_lo[h, i] if h < AROWS else lo_tbl[h, i]
-                            for h in range(16)], *hb)
-                 for i in range(16)]
-        low_l, fr_l = _cdf_lookup(row_t, lo)
-        new_row = _cdf_update(row_t, low_l)
-        for h in range(AROWS):
-            hit = hi == h
-            for i in range(16):
-                cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
-        probs_ref[2 * t] = (low_h << 16) | fr_h
-        probs_ref[2 * t + 1] = (low_l << 16) | fr_l
-        if SHARE > 1 and t % SYNC == SYNC - 1:
-            d = [_set_sum(hi_t[i] - start_hi[i], lane) for i in range(16)]
-            hi_t = _clamp16(_repair16([start_hi[i] + d[i]
-                                       for i in range(16)]))
-            start_hi = hi_t
-            _rejoin_rows(cdf_lo, start_lo, lane, range(HROWS))
-    if SHARE > 1 and AROWS > SROWS:
-        @pl.when((g + 1) % LSYNC_STEPS == 0)
+        @pl.when(gi == 0)
         def _():
-            _rejoin_rows(cdf_lo, start_lo, lane, range(SROWS, AROWS))
-    for i in range(16):
-        cdf_hi[i] = hi_t[i]
+            _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl, g.arows,
+                         start_lo if g.share > 1 else None)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g.groups, GLANES), 1)
+        hi_t = [cdf_hi[i] for i in range(16)]
+        start_hi = hi_t
+        for t in range(g.chunk):
+            b = block_ref[t]
+            hi, lo = b >> 4, b & 15
+            low_h, fr_h = _cdf_lookup(hi_t, hi)
+            hi_t = _cdf_update(hi_t, low_h)
+            hb = _idx_bits(hi)
+            row_t = [_select16(
+                [cdf_lo[h, i] if h < g.arows else lo_tbl[h, i]
+                 for h in range(16)], *hb)
+                for i in range(16)]
+            low_l, fr_l = _cdf_lookup(row_t, lo)
+            new_row = _cdf_update(row_t, low_l)
+            for h in range(g.arows):
+                hit = hi == h
+                for i in range(16):
+                    cdf_lo[h, i] = jnp.where(hit, new_row[i], cdf_lo[h, i])
+            probs_ref[2 * t] = (low_h << 16) | fr_h
+            probs_ref[2 * t + 1] = (low_l << 16) | fr_l
+            if g.share > 1 and t % g.sync == g.sync - 1:
+                d = [_set_sum(hi_t[i] - start_hi[i], lane, g.share)
+                     for i in range(16)]
+                hi_t = _clamp16(_repair16([start_hi[i] + d[i]
+                                           for i in range(16)]))
+                start_hi = hi_t
+                _rejoin_rows(cdf_lo, start_lo, lane, range(g.hrows),
+                             g.share)
+        if g.share > 1 and g.arows > g.srows:
+            @pl.when((gi + 1) % g.lsync_steps == 0)
+            def _():
+                _rejoin_rows(cdf_lo, start_lo, lane,
+                             range(g.srows, g.arows), g.share)
+        for i in range(16):
+            cdf_hi[i] = hi_t[i]
+
+    return _model_kernel
 
 
 def _exact_div(state, freq):
@@ -645,100 +639,108 @@ def _exact_div(state, freq):
     return q
 
 
-def _coder_kernel(init_ref, probs_ref, words_ref, emit_ref, stout_ref,
-                  states):
-    """Backward coding pass over one reversed chunk of nibble slots.
-    init_ref [G, 128]: per-lane initial encoder states (>= ANS_LOW;
-    state seeding stores 16 bits of payload per lane in them)."""
-    g = pl.program_id(0)
+def _make_coder_kernel(chunk: int):
+    def _coder_kernel(init_ref, probs_ref, words_ref, emit_ref, stout_ref,
+                      states):
+        """Backward coding pass over one reversed chunk of nibble slots.
+        init_ref [G, 128]: per-lane initial encoder states (>= ANS_LOW;
+        state seeding stores 16 bits of payload per lane in them)."""
+        gi = pl.program_id(0)
 
-    @pl.when(g == 0)
-    def _():
-        states[:, :] = init_ref[:, :]
+        @pl.when(gi == 0)
+        def _():
+            states[:, :] = init_ref[:, :]
 
-    state = states[:, :]
-    for t in range(2 * CHUNK - 1, -1, -1):
-        pr = probs_ref[t]
-        low = pr >> 16
-        freq = pr & 0xFFFF
-        emit = state >= (freq << 16)
-        words_ref[t] = state & 0xFFFF
-        emit_ref[t] = emit.astype(jnp.int32)
-        state = jnp.where(emit, jax.lax.shift_right_logical(state, 16),
-                          state)
-        q = _exact_div(state, freq)
-        state = (q << RC_BITS) + (state - q * freq) + low
-    states[:, :] = state
-    stout_ref[:, :] = state  # last grid step's write = flush states
+        state = states[:, :]
+        for t in range(2 * chunk - 1, -1, -1):
+            pr = probs_ref[t]
+            low = pr >> 16
+            freq = pr & 0xFFFF
+            emit = state >= (freq << 16)
+            words_ref[t] = state & 0xFFFF
+            emit_ref[t] = emit.astype(jnp.int32)
+            state = jnp.where(emit, jax.lax.shift_right_logical(state, 16),
+                              state)
+            q = _exact_div(state, freq)
+            state = (q << RC_BITS) + (state - q * freq) + low
+        states[:, :] = state
+        stout_ref[:, :] = state  # last grid step's write = flush states
+
+    return _coder_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
 def encode_tile_pallas(block: jnp.ndarray, K: int,
                        hi_tbl: jnp.ndarray | None = None,
                        lo_tbl: jnp.ndarray | None = None,
-                       init_states: jnp.ndarray | None = None):
+                       init_states: jnp.ndarray | None = None,
+                       geom: Geom = DEFAULT):
     """block [LANES, K] -> (gstreams, glens) via the Pallas passes."""
-    assert K % CHUNK == 0
+    g = geom
+    assert K % g.chunk == 0
     block = block.astype(jnp.int32)  # callers may push compact uint8
     if hi_tbl is None:
-        hi_tbl, lo_tbl = _default_tables()
+        hi_tbl, lo_tbl = _default_tables(g)
     if init_states is None:
-        init_states = jnp.full((GROUPS, GLANES), ANS_LOW, jnp.int32)
-    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl)
-    cols = block.T.reshape(K, GROUPS, GLANES)
+        init_states = jnp.full((g.groups, GLANES), ANS_LOW, jnp.int32)
+    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl, g)
+    cols = block.T.reshape(K, g.groups, GLANES)
     probs = pl.pallas_call(
-        _model_kernel,
-        grid=(K // CHUNK,),
+        _make_model_kernel(g),
+        grid=(K // g.chunk,),
         in_specs=[
-            pl.BlockSpec((16, GROUPS, GLANES), lambda i: (0, 0, 0),
+            pl.BlockSpec((16, g.groups, GLANES), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16, GROUPS, GLANES), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16, g.groups, GLANES),
+                         lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
         ] +
-        [pl.BlockSpec((CHUNK, GROUPS, GLANES), lambda i: (i, 0, 0),
+        [pl.BlockSpec((g.chunk, g.groups, GLANES), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+        out_specs=pl.BlockSpec((2 * g.chunk, g.groups, GLANES),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * K, GROUPS, GLANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((2 * K, g.groups, GLANES),
+                                       jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((16, GROUPS, GLANES), jnp.int32),
-            pltpu.VMEM((CROWS, 16, GROUPS, GLANES), jnp.int32),
-            pltpu.VMEM((CROWS, 16, GROUPS, GLANES), jnp.int32),  # start_lo
+            pltpu.VMEM((16, g.groups, GLANES), jnp.int32),
+            pltpu.VMEM((g.crows, 16, g.groups, GLANES), jnp.int32),
+            pltpu.VMEM((g.crows, 16, g.groups, GLANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
     )(hi_b, lo_b, cols)
 
-    return coder_and_place(probs, init_states, K)
+    return coder_and_place(probs, init_states, K, geom=geom)
 
 
-def coder_and_place(probs, init_states, K: int):
+def coder_and_place(probs, init_states, K: int, geom: Geom = DEFAULT):
     """Backward coding pass + placement over a [2K, G, 128] probs tensor
     (shared by the o0 and o1 encode pipelines)."""
-    n = K // CHUNK
+    g = geom
+    n = K // g.chunk
     words, emit, state = pl.pallas_call(
-        _coder_kernel,
+        _make_coder_kernel(g.chunk),
         grid=(n,),
-        in_specs=[pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
+        in_specs=[pl.BlockSpec((g.groups, GLANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+                  pl.BlockSpec((2 * g.chunk, g.groups, GLANES),
                                lambda i: (n - 1 - i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+        out_specs=[pl.BlockSpec((2 * g.chunk, g.groups, GLANES),
                                 lambda i: (n - 1 - i, 0, 0),
                                 memory_space=pltpu.VMEM)] * 2 + [
-            pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
+            pl.BlockSpec((g.groups, GLANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((2 * K, GROUPS, GLANES), jnp.int32)]
-        * 2 + [jax.ShapeDtypeStruct((GROUPS, GLANES), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((GROUPS, GLANES), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((2 * K, g.groups, GLANES),
+                                        jnp.int32)]
+        * 2 + [jax.ShapeDtypeStruct((g.groups, GLANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((g.groups, GLANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
     )(init_states, probs)
-    return place_tile(words, emit, state, K)
+    return place_tile(words, emit, state, K, geom=geom)
 
 
 # ---------------------------------------------------------------------------
@@ -753,89 +755,92 @@ def coder_and_place(probs, init_states, K: int):
 # (later steps rewrite the partial tail rows).
 # ---------------------------------------------------------------------------
 
-PROWS = 2 * CHUNK + 4  # placement window rows: max 2*CHUNK*128 words + slack
+
+def _make_place_kernel(g: Geom):
+    def _place_kernel(words_ref, emit_ref, out_ref, acc, pword, prow, sem):
+        gi = pl.program_id(0)
+
+        @pl.when(gi == 0)
+        def _():
+            acc[:, :, :] = jnp.zeros((g.groups, g.prows, GLANES), jnp.int32)
+            for s in range(g.groups):
+                pword[s] = 256  # data starts after the 2 flush-state rows
+                prow[s] = 0
+
+        # in-window word offset per group (absolute pos - window base row)
+        p = jnp.stack([pword[s] - prow[s] * 128
+                       for s in range(g.groups)])[:, None]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g.groups, GLANES), 1)
+
+        for t in range(2 * g.chunk):
+            need = emit_ref[t] != 0
+            w = jnp.where(need, words_ref[t], 0)
+            needi = need.astype(jnp.int32)
+            cnt = jnp.sum(needi, axis=1, keepdims=True)
+            # compact the emitted words to dense front order, rotate them
+            # to the window phase, and mask-split over the (at most) two
+            # target rows r_lo and r_lo+1 - all log-depth
+            dense = _compact(w, need, lane)
+            p127 = p & 127
+            rs = _rot_right(dense, p127)
+            end = p127 + cnt
+            c0 = jnp.where((lane >= p127) & (lane < end), rs, 0)
+            c1 = jnp.where(lane < end - 128, rs, 0)
+            r_lo = p >> 7                  # (GROUPS, 1) scalar row per group
+            for rr in range(g.prows):
+                sel0 = (r_lo == rr).astype(jnp.int32)
+                sel1 = (r_lo + 1 == rr).astype(jnp.int32)
+                acc[:, rr, :] = acc[:, rr, :] + sel0 * c0 + sel1 * c1
+            p = p + cnt
+
+        # flush the window to HBM at each group's base row (overlapping
+        # rewrites: the partial tail is rewritten complete by later steps)
+        copies = [pltpu.make_async_copy(
+            acc.at[s], out_ref.at[s, pl.ds(prow[s], g.prows), :], sem.at[s])
+            for s in range(g.groups)]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+        # shift the accumulator down by the completed rows
+        shift = p >> 7                         # (GROUPS, 1)
+        sh = shift[:, :, None]
+        rows = jax.lax.broadcasted_iota(jnp.int32,
+                                        (g.groups, g.prows, GLANES), 1)
+        shifted = jnp.zeros((g.groups, g.prows, GLANES), jnp.int32)
+        for v in range(g.prows):
+            shifted = shifted + jnp.where(
+                rows + sh == v, acc[:, v, :][:, None, :], 0)
+        acc[:, :, :] = shifted
+        for s in range(g.groups):
+            prow[s] = prow[s] + shift[s, 0]
+            pword[s] = prow[s] * 128 + (p[s, 0] - shift[s, 0] * 128)
+
+    return _place_kernel
 
 
-def _place_kernel(words_ref, emit_ref, out_ref, acc, pword, prow, sem):
-    g = pl.program_id(0)
-
-    @pl.when(g == 0)
-    def _():
-        acc[:, :, :] = jnp.zeros((GROUPS, PROWS, GLANES), jnp.int32)
-        for s in range(GROUPS):
-            pword[s] = 256  # data starts after the 2 flush-state rows
-            prow[s] = 0
-
-    # in-window word offset per group (absolute pos - window base row)
-    p = jnp.stack([pword[s] - prow[s] * 128
-                   for s in range(GROUPS)])[:, None]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
-
-    for t in range(2 * CHUNK):
-        need = emit_ref[t] != 0
-        w = jnp.where(need, words_ref[t], 0)
-        needi = need.astype(jnp.int32)
-        cnt = jnp.sum(needi, axis=1, keepdims=True)
-        # compact the emitted words to dense front order, rotate them to
-        # the window phase, and mask-split over the (at most) two target
-        # rows r_lo and r_lo+1 - all log-depth
-        dense = _compact(w, need, lane)
-        p127 = p & 127
-        rs = _rot_right(dense, p127)
-        end = p127 + cnt
-        c0 = jnp.where((lane >= p127) & (lane < end), rs, 0)
-        c1 = jnp.where(lane < end - 128, rs, 0)
-        r_lo = p >> 7                      # (GROUPS, 1) scalar row per group
-        for rr in range(PROWS):
-            sel0 = (r_lo == rr).astype(jnp.int32)
-            sel1 = (r_lo + 1 == rr).astype(jnp.int32)
-            acc[:, rr, :] = acc[:, rr, :] + sel0 * c0 + sel1 * c1
-        p = p + cnt
-
-    # flush the window to HBM at each group's base row (overlapping
-    # rewrites: the partial tail is rewritten complete by later steps)
-    copies = [pltpu.make_async_copy(
-        acc.at[s], out_ref.at[s, pl.ds(prow[s], PROWS), :], sem.at[s])
-        for s in range(GROUPS)]
-    for cp in copies:
-        cp.start()
-    for cp in copies:
-        cp.wait()
-    # shift the accumulator down by the completed rows
-    shift = p >> 7                         # (GROUPS, 1)
-    sh = shift[:, :, None]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, PROWS, GLANES), 1)
-    shifted = jnp.zeros((GROUPS, PROWS, GLANES), jnp.int32)
-    for v in range(PROWS):
-        shifted = shifted + jnp.where(
-            rows + sh == v, acc[:, v, :][:, None, :], 0)
-    acc[:, :, :] = shifted
-    for s in range(GROUPS):
-        prow[s] = prow[s] + shift[s, 0]
-        pword[s] = prow[s] * 128 + (p[s, 0] - shift[s, 0] * 128)
-
-
-@functools.partial(jax.jit, static_argnames=("K",))
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
 def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
-               K: int):
+               K: int, geom: Geom = DEFAULT):
     """words/emit [2K, GROUPS, GLANES], state [GROUPS, GLANES] ->
     (gstreams [GROUPS, R, GLANES], glens [GROUPS])."""
+    g = geom
     S = 2 * K
-    R = S + 2 + WROWS
-    n = K // CHUNK
+    R = S + 2 + g.wrows
+    n = K // g.chunk
     out = pl.pallas_call(
-        _place_kernel,
+        _make_place_kernel(g),
         grid=(n,),
-        in_specs=[pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+        in_specs=[pl.BlockSpec((2 * g.chunk, g.groups, GLANES),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((GROUPS, R, GLANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((g.groups, R, GLANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((GROUPS, PROWS, GLANES), jnp.int32),  # acc window
-            pltpu.SMEM((GROUPS,), jnp.int32),                # pword
-            pltpu.SMEM((GROUPS,), jnp.int32),                # prow
-            pltpu.SemaphoreType.DMA((GROUPS,)),
+            pltpu.VMEM((g.groups, g.prows, GLANES), jnp.int32),  # acc
+            pltpu.SMEM((g.groups,), jnp.int32),                  # pword
+            pltpu.SMEM((g.groups,), jnp.int32),                  # prow
+            pltpu.SemaphoreType.DMA((g.groups,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -851,11 +856,12 @@ def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
 # XLA-side group-stream construction (encode) and host packing
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
 def encode_tile(block: jnp.ndarray, K: int,
                 hi_tbl: jnp.ndarray | None = None,
                 lo_tbl: jnp.ndarray | None = None,
-                init_states: jnp.ndarray | None = None):
+                init_states: jnp.ndarray | None = None,
+                geom: Geom = DEFAULT):
     """block [LANES, K] int32 bytes -> (gstreams [GROUPS, R, 128],
     glens [GROUPS]).  XLA twin of the Pallas passes (same share-SHARE
     model semantics, via codecs/rans_cdf_s8); only the stitch differs
@@ -863,37 +869,38 @@ def encode_tile(block: jnp.ndarray, K: int,
     from turborc_tpu.codecs import rans_cdf_s8 as S8
     from turborc_tpu.ops import rans
 
+    g = geom
     block = block.astype(jnp.int32)  # callers may push compact uint8
     L = block.shape[0]
-    assert L == LANES and S8.SHARE == SHARE and S8.SYNC == SYNC \
-        and S8.LSYNC == LSYNC and S8.AROWS == AROWS
+    assert L == g.lanes
     if hi_tbl is None:
-        hi_tbl, lo_tbl = _default_tables()
+        hi_tbl, lo_tbl = _default_tables(g)
     # per-lane tables from the per-group args (lane l is in group l//128)
     hi0 = jnp.repeat(hi_tbl.T, GLANES, axis=0)                 # [L, 16]
     lo0 = jnp.repeat(jnp.transpose(lo_tbl, (2, 0, 1)), GLANES, axis=0)
-    chunks = block.T.reshape(K // LSYNC, LSYNC // SYNC, SYNC, L)
+    chunks = block.T.reshape(K // g.lsync, g.lsync // g.sync, g.sync, L)
 
     def win(carry, b):
         cdf_hi, cdf_lo, start_lo = carry
         start_hi = cdf_hi
         outs = []
-        for u in range(SYNC):
+        for u in range(g.sync):
             cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = S8._code_byte(
-                cdf_hi, cdf_lo, b[u])
+                cdf_hi, cdf_lo, b[u], g.arows)
             outs.append(jnp.stack([jnp.stack([low_h, fr_h]),
                                    jnp.stack([low_l, fr_l])]))
-        if SHARE > 1:
-            cdf_hi = S8._sync(cdf_hi, start_hi)
-            cdf_lo, start_lo = S8._sync_lo_hot(cdf_lo, start_lo)
+        if g.share > 1:
+            cdf_hi = S8._sync(cdf_hi, start_hi, g.share)
+            cdf_lo, start_lo = S8._sync_lo_hot(cdf_lo, start_lo, g.share,
+                                               g.srows)
         return (cdf_hi, cdf_lo, start_lo), jnp.stack(outs)
 
     def fwd(carry, bs):
         cdf_hi, cdf_lo = carry
         (cdf_hi, cdf_lo, start_lo), outs = jax.lax.scan(
             win, (cdf_hi, cdf_lo, cdf_lo), bs)
-        if SHARE > 1 and AROWS > SROWS:
-            cdf_lo = S8._sync_lo_cold(cdf_lo, start_lo)
+        if g.share > 1 and g.arows > g.srows:
+            cdf_lo = S8._sync_lo_cold(cdf_lo, start_lo, g.share, g.srows)
         return (cdf_hi, cdf_lo), outs
 
     _, probs = jax.lax.scan(fwd, (hi0, lo0), chunks)
@@ -902,30 +909,31 @@ def encode_tile(block: jnp.ndarray, K: int,
     words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1],
                                               init_state=init)
     S = 2 * K
-    return _group_stitch(words.astype(jnp.int32).reshape(S, GROUPS, GLANES),
-                         emit.reshape(S, GROUPS, GLANES),
-                         state.reshape(GROUPS, GLANES))
+    return _group_stitch(
+        words.astype(jnp.int32).reshape(S, g.groups, GLANES),
+        emit.reshape(S, g.groups, GLANES),
+        state.reshape(g.groups, GLANES), g)
 
 
 def _group_stitch(words_g: jnp.ndarray, emit_g: jnp.ndarray,
-                  state: jnp.ndarray):
+                  state: jnp.ndarray, g: Geom = DEFAULT):
     """[S,G,128] emissions + [G,128] flush states -> consumption-order
     group streams ([G, R, 128], lengths [G])."""
     S = words_g.shape[0]
-    R = S + 2 + WROWS  # worst-case data rows + state rows + window pad
+    R = S + 2 + g.wrows  # worst-case data rows + state rows + window pad
     eint = emit_g.astype(jnp.int32)
     # consumption order = (step, lane) lexicographic per group
-    flat = eint.transpose(1, 0, 2).reshape(GROUPS, S * GLANES)
+    flat = eint.transpose(1, 0, 2).reshape(g.groups, S * GLANES)
     pos = 256 + jnp.cumsum(flat, axis=1) - flat
-    pos = pos.reshape(GROUPS, S, GLANES).transpose(1, 0, 2)
-    out = jnp.zeros((GROUPS, R * GLANES), jnp.int32)
+    pos = pos.reshape(g.groups, S, GLANES).transpose(1, 0, 2)
+    out = jnp.zeros((g.groups, R * GLANES), jnp.int32)
     gi = jnp.broadcast_to(
-        jnp.arange(GROUPS, dtype=jnp.int32)[None, :, None],
-        (S, GROUPS, GLANES))
+        jnp.arange(g.groups, dtype=jnp.int32)[None, :, None],
+        (S, g.groups, GLANES))
     posc = jnp.where(emit_g, pos, R * GLANES)
     out = out.at[gi.ravel(), posc.ravel()].set(
         words_g.ravel(), mode="drop")
-    out = out.reshape(GROUPS, R, GLANES)
+    out = out.reshape(g.groups, R, GLANES)
     out = out.at[:, 0, :].set((state >> 16).astype(jnp.int32))
     out = out.at[:, 1, :].set((state & 0xFFFF).astype(jnp.int32))
     glens = 256 + jnp.sum(eint, axis=(0, 2))

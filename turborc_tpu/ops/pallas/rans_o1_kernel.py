@@ -23,7 +23,8 @@ is paid down by per-group CONDITIONAL warm tables instead (o1cost: on a
 512KB slice conditional warm start cuts model cost 3.35 -> 2.14 bits/B).
 
 Stream format, fetch machinery, backward coder, and placement are shared
-with ops/pallas/rans_kernel.py (consumption-order group streams).
+with ops/pallas/rans_kernel.py (consumption-order group streams).  Only
+geom.groups and geom.chunk matter here (share/sync/arows are o0 knobs).
 """
 from __future__ import annotations
 
@@ -35,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from turborc_tpu.ops.pallas import rans_kernel as K_
+from turborc_tpu.ops.pallas.geom import DEFAULT, Geom
 
 RC_BITS = K_.RC_BITS
 TOTAL = K_.TOTAL
@@ -91,118 +93,126 @@ def _code_lo_row(cdf_lo, cb, hb, hi):
 # decode kernel
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
-                   states, cdf_hi, cdf_lo, prevs, queue, window, pword,
-                   vq, sem):
-    g = pl.program_id(0)
+def _make_decode_kernel(g: Geom):
+    def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
+                       states, cdf_hi, cdf_lo, prevs, queue, window,
+                       pword, vq, sem):
+        gi = pl.program_id(0)
 
-    @pl.when(g == 0)
-    def _():
-        for s in range(GROUPS):
-            pword[s] = 0
+        @pl.when(gi == 0)
+        def _():
+            for s in range(g.groups):
+                pword[s] = 0
 
-    base_row = [pword[s] >> 7 for s in range(GROUPS)]
-    copies = [pltpu.make_async_copy(
-        stream_ref.at[s, pl.ds(base_row[s], WROWS), :],
-        window.at[s], sem.at[s]) for s in range(GROUPS)]
-    for cp in copies:
-        cp.start()
-    for cp in copies:
-        cp.wait()
+        base_row = [pword[s] >> 7 for s in range(g.groups)]
+        copies = [pltpu.make_async_copy(
+            stream_ref.at[s, pl.ds(base_row[s], g.wrows), :],
+            window.at[s], sem.at[s]) for s in range(g.groups)]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
 
-    @pl.when(g == 0)
-    def _():
-        states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
-        _init_tables_o1(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
-        queue[0] = window[:, 2, :]
-        queue[1] = window[:, 3, :]
-        prevs[:, :] = jnp.zeros((GROUPS, GLANES), jnp.int32)
+        @pl.when(gi == 0)
+        def _():
+            states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
+            _init_tables_o1(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
+            queue[0] = window[:, 2, :]
+            queue[1] = window[:, 3, :]
+            prevs[:, :] = jnp.zeros((g.groups, GLANES), jnp.int32)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (GROUPS, GLANES), 1)
-    base_v = jnp.stack(base_row)[:, None]
-    consumed = jnp.stack([pword[s] for s in range(GROUPS)])[:, None]
-    consumed = jnp.where(g == 0, 256, consumed)
-    vcnt = jnp.stack([vq[s] for s in range(GROUPS)])[:, None]
-    vcnt = jnp.where(g == 0, 256, vcnt)
-    q0, q1 = queue[0], queue[1]
-    state = states[:, :]
-    prev = prevs[:, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g.groups, GLANES), 1)
+        base_v = jnp.stack(base_row)[:, None]
+        consumed = jnp.stack([pword[s] for s in range(g.groups)])[:, None]
+        consumed = jnp.where(gi == 0, 256, consumed)
+        vcnt = jnp.stack([vq[s] for s in range(g.groups)])[:, None]
+        vcnt = jnp.where(gi == 0, 256, vcnt)
+        q0, q1 = queue[0], queue[1]
+        state = states[:, :]
+        prev = prevs[:, :]
 
-    fetch = K_._make_fetch(window, base_v, lane)
+        fetch = K_._make_fetch(window, base_v, lane)
 
-    for t in range(CHUNK):
-        ctx = _ctx_of(prev)
-        cb = K_._idx_bits(ctx)
-        hi_row = _select_row(cdf_hi, cb)
-        state, hi, low_h = K_._dec_search(state, hi_row)
-        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
-        _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h))
+        for t in range(g.chunk):
+            ctx = _ctx_of(prev)
+            cb = K_._idx_bits(ctx)
+            hi_row = _select_row(cdf_hi, cb)
+            state, hi, low_h = K_._dec_search(state, hi_row)
+            state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
+                                                  consumed)
+            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h))
 
-        hb = K_._idx_bits(hi)
-        row_t = _code_lo_row(cdf_lo, cb, hb, hi)
-        state, lo, low_l = K_._dec_search(state, row_t)
-        state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt, consumed)
-        new_row = K_._cdf_update(row_t, low_l)
-        locx = jnp.where(hi == 0, ctx, 16 + hi)
-        _writeback(cdf_lo, locx, new_row, rows=LROWS)
+            hb = K_._idx_bits(hi)
+            row_t = _code_lo_row(cdf_lo, cb, hb, hi)
+            state, lo, low_l = K_._dec_search(state, row_t)
+            state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
+                                                  consumed)
+            new_row = K_._cdf_update(row_t, low_l)
+            locx = jnp.where(hi == 0, ctx, 16 + hi)
+            _writeback(cdf_lo, locx, new_row, rows=LROWS)
 
-        b = (hi << 4) | lo
-        out_ref[t] = b
-        prev = b
+            b = (hi << 4) | lo
+            out_ref[t] = b
+            prev = b
 
-    states[:, :] = state
-    fstate_ref[:, :] = state
-    prevs[:, :] = prev
-    queue[0] = q0
-    queue[1] = q1
-    for s in range(GROUPS):
-        pword[s] = consumed[s, 0]
-        vq[s] = vcnt[s, 0]
+        states[:, :] = state
+        fstate_ref[:, :] = state
+        prevs[:, :] = prev
+        queue[0] = q0
+        queue[1] = q1
+        for s in range(g.groups):
+            pword[s] = consumed[s, 0]
+            vq[s] = vcnt[s, 0]
+
+    return _decode_kernel
 
 
-def _broadcast_tables(hi_tbl, lo_tbl):
+def _broadcast_tables(hi_tbl, lo_tbl, g: Geom):
     """[NCTX,16,G] / [LROWS,16,G] int32 -> per-lane VMEM broadcasts."""
-    hi = jnp.broadcast_to(hi_tbl[:, :, :, None], (NCTX, 16, GROUPS, GLANES))
-    lo = jnp.broadcast_to(lo_tbl[:, :, :, None], (LROWS, 16, GROUPS, GLANES))
+    hi = jnp.broadcast_to(hi_tbl[:, :, :, None],
+                          (NCTX, 16, g.groups, GLANES))
+    lo = jnp.broadcast_to(lo_tbl[:, :, :, None],
+                          (LROWS, 16, g.groups, GLANES))
     return hi, lo
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
 def decode_tile(gstreams: jnp.ndarray, K: int, hi_tbl: jnp.ndarray,
-                lo_tbl: jnp.ndarray):
+                lo_tbl: jnp.ndarray, geom: Geom = DEFAULT):
     """gstreams [GROUPS, R, 128] int32 -> (bytes [K, GROUPS, 128],
     final_states [GROUPS, 128]).  hi_tbl [NCTX,16,G], lo_tbl [LROWS,16,G]
     int32 cumulative warm tables."""
-    assert K % CHUNK == 0
-    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl)
-    grid = K // CHUNK
+    g = geom
+    assert K % g.chunk == 0
+    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl, g)
+    grid = K // g.chunk
     return pl.pallas_call(
-        _decode_kernel,
+        _make_decode_kernel(g),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((NCTX, 16, GROUPS, GLANES),
+            pl.BlockSpec((NCTX, 16, g.groups, GLANES),
                          lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LROWS, 16, GROUPS, GLANES),
+            pl.BlockSpec((LROWS, 16, g.groups, GLANES),
                          lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[pl.BlockSpec((CHUNK, GROUPS, GLANES),
+        out_specs=[pl.BlockSpec((g.chunk, g.groups, GLANES),
                                 lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((GROUPS, GLANES), lambda i: (0, 0),
+                   pl.BlockSpec((g.groups, GLANES), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((K, GROUPS, GLANES), jnp.int32),
-                   jax.ShapeDtypeStruct((GROUPS, GLANES), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((K, g.groups, GLANES), jnp.int32),
+                   jax.ShapeDtypeStruct((g.groups, GLANES), jnp.int32)],
         scratch_shapes=[
-            pltpu.VMEM((GROUPS, GLANES), jnp.int32),            # states
-            pltpu.VMEM((NCTX, 16, GROUPS, GLANES), jnp.int32),  # cdf_hi
-            pltpu.VMEM((LROWS, 16, GROUPS, GLANES), jnp.int32),  # cdf_lo
-            pltpu.VMEM((GROUPS, GLANES), jnp.int32),            # prevs
-            pltpu.VMEM((2, GROUPS, GLANES), jnp.int32),         # queue
-            pltpu.VMEM((GROUPS, WROWS, GLANES), jnp.int32),     # window
-            pltpu.SMEM((GROUPS,), jnp.int32),                   # pword
-            pltpu.SMEM((GROUPS,), jnp.int32),                   # vq
-            pltpu.SemaphoreType.DMA((GROUPS,)),
+            pltpu.VMEM((g.groups, GLANES), jnp.int32),            # states
+            pltpu.VMEM((NCTX, 16, g.groups, GLANES), jnp.int32),  # cdf_hi
+            pltpu.VMEM((LROWS, 16, g.groups, GLANES), jnp.int32),  # cdf_lo
+            pltpu.VMEM((g.groups, GLANES), jnp.int32),            # prevs
+            pltpu.VMEM((2, g.groups, GLANES), jnp.int32),         # queue
+            pltpu.VMEM((g.groups, g.wrows, GLANES), jnp.int32),   # window
+            pltpu.SMEM((g.groups,), jnp.int32),                   # pword
+            pltpu.SMEM((g.groups,), jnp.int32),                   # vq
+            pltpu.SemaphoreType.DMA((g.groups,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -214,86 +224,95 @@ def decode_tile(gstreams: jnp.ndarray, K: int, hi_tbl: jnp.ndarray,
 # encode kernels (forward model pass; coder + placement shared with o0)
 # ---------------------------------------------------------------------------
 
-def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi, cdf_lo,
-                  prevs):
-    g = pl.program_id(0)
+def _make_model_kernel(g: Geom):
+    def _model_kernel(hi_tbl, lo_tbl, block_ref, probs_ref, cdf_hi,
+                      cdf_lo, prevs):
+        gi = pl.program_id(0)
 
-    @pl.when(g == 0)
-    def _():
-        _init_tables_o1(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
-        prevs[:, :] = jnp.zeros((GROUPS, GLANES), jnp.int32)
+        @pl.when(gi == 0)
+        def _():
+            _init_tables_o1(cdf_hi, cdf_lo, hi_tbl, lo_tbl)
+            prevs[:, :] = jnp.zeros((g.groups, GLANES), jnp.int32)
 
-    prev = prevs[:, :]
-    for t in range(CHUNK):
-        b = block_ref[t]
-        hi, lo = b >> 4, b & 15
-        ctx = _ctx_of(prev)
-        cb = K_._idx_bits(ctx)
-        hi_row = _select_row(cdf_hi, cb)
-        low_h, fr_h = K_._cdf_lookup(hi_row, hi)
-        _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h))
+        prev = prevs[:, :]
+        for t in range(g.chunk):
+            b = block_ref[t]
+            hi, lo = b >> 4, b & 15
+            ctx = _ctx_of(prev)
+            cb = K_._idx_bits(ctx)
+            hi_row = _select_row(cdf_hi, cb)
+            low_h, fr_h = K_._cdf_lookup(hi_row, hi)
+            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h))
 
-        hb = K_._idx_bits(hi)
-        row_t = _code_lo_row(cdf_lo, cb, hb, hi)
-        low_l, fr_l = K_._cdf_lookup(row_t, lo)
-        locx = jnp.where(hi == 0, ctx, 16 + hi)
-        _writeback(cdf_lo, locx, K_._cdf_update(row_t, low_l), rows=LROWS)
+            hb = K_._idx_bits(hi)
+            row_t = _code_lo_row(cdf_lo, cb, hb, hi)
+            low_l, fr_l = K_._cdf_lookup(row_t, lo)
+            locx = jnp.where(hi == 0, ctx, 16 + hi)
+            _writeback(cdf_lo, locx, K_._cdf_update(row_t, low_l),
+                       rows=LROWS)
 
-        probs_ref[2 * t] = (low_h << 16) | fr_h
-        probs_ref[2 * t + 1] = (low_l << 16) | fr_l
-        prev = b
-    prevs[:, :] = prev
+            probs_ref[2 * t] = (low_h << 16) | fr_h
+            probs_ref[2 * t + 1] = (low_l << 16) | fr_l
+            prev = b
+        prevs[:, :] = prev
+
+    return _model_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
 def encode_tile_pallas(block: jnp.ndarray, K: int, hi_tbl: jnp.ndarray,
                        lo_tbl: jnp.ndarray,
-                       init_states: jnp.ndarray | None = None):
+                       init_states: jnp.ndarray | None = None,
+                       geom: Geom = DEFAULT):
     """block [LANES, K] -> (gstreams, glens) via the o1 Pallas passes."""
-    assert K % CHUNK == 0
+    g = geom
+    assert K % g.chunk == 0
     block = block.astype(jnp.int32)
     if init_states is None:
-        init_states = jnp.full((GROUPS, GLANES), ANS_LOW, jnp.int32)
-    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl)
-    cols = block.T.reshape(K, GROUPS, GLANES)
+        init_states = jnp.full((g.groups, GLANES), ANS_LOW, jnp.int32)
+    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl, g)
+    cols = block.T.reshape(K, g.groups, GLANES)
     probs = pl.pallas_call(
-        _model_kernel,
-        grid=(K // CHUNK,),
+        _make_model_kernel(g),
+        grid=(K // g.chunk,),
         in_specs=[
-            pl.BlockSpec((NCTX, 16, GROUPS, GLANES),
+            pl.BlockSpec((NCTX, 16, g.groups, GLANES),
                          lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LROWS, 16, GROUPS, GLANES),
+            pl.BlockSpec((LROWS, 16, g.groups, GLANES),
                          lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, GROUPS, GLANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((g.chunk, g.groups, GLANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((2 * CHUNK, GROUPS, GLANES),
+        out_specs=pl.BlockSpec((2 * g.chunk, g.groups, GLANES),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * K, GROUPS, GLANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((2 * K, g.groups, GLANES),
+                                       jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((NCTX, 16, GROUPS, GLANES), jnp.int32),
-            pltpu.VMEM((LROWS, 16, GROUPS, GLANES), jnp.int32),
-            pltpu.VMEM((GROUPS, GLANES), jnp.int32),  # prevs
+            pltpu.VMEM((NCTX, 16, g.groups, GLANES), jnp.int32),
+            pltpu.VMEM((LROWS, 16, g.groups, GLANES), jnp.int32),
+            pltpu.VMEM((g.groups, GLANES), jnp.int32),  # prevs
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
     )(hi_b, lo_b, cols)
-    return K_.coder_and_place(probs, init_states, K)
+    return K_.coder_and_place(probs, init_states, K, geom=geom)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
 def encode_tile(block: jnp.ndarray, K: int, hi_tbl: jnp.ndarray,
                 lo_tbl: jnp.ndarray,
-                init_states: jnp.ndarray | None = None):
+                init_states: jnp.ndarray | None = None,
+                geom: Geom = DEFAULT):
     """XLA twin of the o1 Pallas passes (same model semantics via
     codecs/rans_cdf_r1's scan; consumption-order group stitch)."""
     from turborc_tpu.codecs import rans_cdf_r1 as R1
     from turborc_tpu.ops import rans
 
+    g = geom
     block = block.astype(jnp.int32)
     L = block.shape[0]
-    assert L == LANES
+    assert L == g.lanes
     # per-lane tables from per-group args (lane l is in group l//128)
     hi0 = jnp.repeat(jnp.transpose(hi_tbl, (2, 0, 1)), GLANES, axis=0)
     lo0 = jnp.repeat(jnp.transpose(lo_tbl, (2, 0, 1)), GLANES, axis=0)
@@ -303,6 +322,6 @@ def encode_tile(block: jnp.ndarray, K: int, hi_tbl: jnp.ndarray,
                                               init_state=init)
     S = 2 * K
     return K_._group_stitch(
-        words.astype(jnp.int32).reshape(S, GROUPS, GLANES),
-        emit.reshape(S, GROUPS, GLANES),
-        state.reshape(GROUPS, GLANES))
+        words.astype(jnp.int32).reshape(S, g.groups, GLANES),
+        emit.reshape(S, g.groups, GLANES),
+        state.reshape(g.groups, GLANES), g)

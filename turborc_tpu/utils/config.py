@@ -27,6 +27,9 @@ class CodecConfig:
                   mbc_ss.h:35 comment "o0:5,8 o1:4,6 o2:2,5 bwt:4,7").
       ctx_bits:   sliding-context size in bits for rcx-family codecs.
       level:      pipeline level (BWT entropy-stage selector, rcbwt.c:83-94).
+      geom:       flagship kernel geometry (ops/pallas/geom.Geom); None =
+                  the env-default.  Recorded in the v3 container header so
+                  payloads decode in any process.
     """
 
     codec: str = "rans-cdf-o0"
@@ -37,6 +40,7 @@ class CodecConfig:
     prm1: int = 8
     ctx_bits: int = 8
     level: int = 8
+    geom: object = None
 
     def __post_init__(self):
         if self.lanes & (self.lanes - 1):
