@@ -24,15 +24,15 @@ def test_bec_compresses_runs(corpora):
 
 
 def test_bec_wavelet_roundtrip_and_wins(corpora):
-    """bec-w: prefix-permuted planes must round-trip and beat the
-    independent-plane bec on skewed data (the inter-plane mutual
+    """bec (wavelet): prefix-permuted planes must round-trip and beat the
+    independent-plane bec-i on skewed data (the inter-plane mutual
     information it exists to capture)."""
     data = corpora["skewed"][:8192]
     cfgs = {name: CodecConfig(codec=name, lanes=8, block_size=1 << 13,
-                              step_quant=256) for name in ("bec", "bec-w")}
-    blob_w = compress(data, cfgs["bec-w"])
+                              step_quant=256) for name in ("bec-i", "bec")}
+    blob_w = compress(data, cfgs["bec"])
     assert decompress(blob_w) == data.tobytes()
-    assert len(blob_w) < len(compress(data, cfgs["bec"]))
+    assert len(blob_w) < len(compress(data, cfgs["bec-i"]))
 
 
 def test_bec_wide_segment_roundtrip(rng):
@@ -43,7 +43,7 @@ def test_bec_wide_segment_roundtrip(rng):
     data = np.repeat(rng.integers(0, 8, 2048).astype(np.uint8),
                      rng.integers(1, 513, 2048))[:4 << 17]
     assert data.shape[0] == 4 << 17
-    for codec in ("bec", "bec-w"):
+    for codec in ("bec", "bec-i"):
         cfg = CodecConfig(codec=codec, lanes=4, block_size=1 << 20,
                           step_quant=256)
         blob = compress(data, cfg)

@@ -38,11 +38,14 @@ DEFAULT_POINTS = [
 
 def parse_geom(spec: str):
     from turborc_tpu.ops.pallas.geom import Geom
-    m = re.fullmatch(r"g(\d+)c(\d+)s(\d+)y(\d+)l(\d+)a(\d+)", spec)
+    m = re.fullmatch(r"g(\d+)c(\d+)s(\d+)y(\d+)l(\d+)a(\d+)(?:r(\d+))?",
+                     spec)
     if not m:
         raise SystemExit(f"bad geometry spec {spec!r}")
-    g, c, s, y, l, a = map(int, m.groups())
-    return Geom(groups=g, chunk=c, share=s, sync=y, lsync=l, arows=a)
+    g, c, s, y, l, a = map(int, m.groups()[:6])
+    r = int(m.group(7)) if m.group(7) else 4
+    return Geom(groups=g, chunk=c, share=s, sync=y, lsync=l, arows=a,
+                srows=r)
 
 
 def run_point(data: np.ndarray, geom, reps: int) -> dict:
@@ -94,7 +97,7 @@ def run_point(data: np.ndarray, geom, reps: int) -> dict:
             + 2 * int(glens.sum()))
     return {
         "geom": f"g{geom.groups}c{geom.chunk}s{geom.share}"
-                f"y{geom.sync}l{geom.lsync}a{geom.arows}",
+                f"y{geom.sync}l{geom.lsync}a{geom.arows}r{geom.srows}",
         "mb": n >> 20,
         "enc_mbs": round(n / enc_s / 1e6, 1),
         "dec_mbs": round(n / dec_s / 1e6, 1),

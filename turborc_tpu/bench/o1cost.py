@@ -53,9 +53,12 @@ def _bits(freq):
     return 15.0 - jnp.log2(freq.astype(jnp.float32))
 
 
-def _locx(prev, hi, full: bool, wide: bool = False):
+def _locx(prev, hi, full: bool, wide: bool = False, match: bool = False):
     if full:
         return prev * 16 + hi
+    if match:  # match plane: prev's lo rank when prev's hi nibble == hi
+        base = jnp.where(hi == 0, jnp.minimum(prev, 15), 16 + hi)
+        return jnp.where((prev >> 4) == hi, 32 + (prev & 15), base)
     if wide:  # rank-conditioned lo for hi==1 too (48 rows)
         p15 = jnp.minimum(prev, 15)
         return jnp.where(hi == 0, p15,
@@ -63,9 +66,26 @@ def _locx(prev, hi, full: bool, wide: bool = False):
     return jnp.where(hi == 0, jnp.minimum(prev, 15), 16 + hi)
 
 
+def _hictx(prev, C: int, linlog: bool = False):
+    if linlog:  # C rows: low ranks exact, log2 buckets above
+        lin = C - 8  # 24 at C=32, 56 at C=64
+        t = jnp.maximum(prev - (lin - 1), 1)
+        bl = jnp.zeros_like(prev)
+        v = t
+        for k in (4, 2, 1):
+            big = v >= (1 << k)
+            bl = bl + jnp.where(big, k, 0)
+            v = v >> jnp.where(big, k, 0)
+        bl = bl + (v > 0)
+        return jnp.where(prev < lin, prev, lin + jnp.minimum(bl, 7))
+    return jnp.minimum(prev, C - 1)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("K", "C", "full", "o0", "wide"))
-def _cost(slab, K, C, full, o0, hi0, lo0, wide=False):
+                   static_argnames=("K", "C", "full", "o0", "wide",
+                                    "match", "linlog"))
+def _cost(slab, K, C, full, o0, hi0, lo0, wide=False, match=False,
+          linlog=False):
     """slab [S, K, k] int32 remapped bytes (k pooled lanes per set);
     hi0 [S, C, 16], lo0 [S, R, 16] warm cumulative tables."""
     S, _, k = slab.shape
@@ -78,12 +98,12 @@ def _cost(slab, K, C, full, o0, hi0, lo0, wide=False):
         if o0:
             ctx = jnp.zeros_like(prev)
         else:
-            ctx = jnp.minimum(prev, C - 1)
+            ctx = _hictx(prev, C, linlog)
         row_h = jnp.take_along_axis(
             hi_t, jnp.broadcast_to(ctx[:, :, None], (S, k, 16)), axis=1)
         low_h, fr_h = cdf16.lookup(row_h, hi)
         bits = jnp.sum(_bits(fr_h))
-        lcx = hi if o0 else _locx(prev, hi, full, wide)
+        lcx = hi if o0 else _locx(prev, hi, full, wide, match)
         row_l = jnp.take_along_axis(
             lo_t, jnp.broadcast_to(lcx[:, :, None], (S, k, 16)), axis=1)
         low_l, fr_l = cdf16.lookup(row_l, lo)
@@ -132,7 +152,19 @@ def _o0_warm(data, S, C, R, full):
             jnp.asarray(np.broadcast_to(lo0, (S, R, 16)), jnp.int32))
 
 
-def _o1_warm(data, S, C, R, full, n_seg=64):
+def _np_hictx(prev, C, linlog):
+    if not linlog:
+        return np.minimum(prev, C - 1)
+    lin = C - 8
+    bl = np.zeros(257, np.int64)
+    for i in range(1, 257):
+        bl[i] = i.bit_length()
+    return np.where(prev < lin, prev,
+                    lin + np.minimum(bl[np.maximum(prev - (lin - 1), 1)],
+                                     7))
+
+
+def _o1_warm(data, S, C, R, full, n_seg=64, match=False, linlog=False):
     """Conditional warm tables per segment: hi | ctx and lo | locx counts.
     Header cost: n_seg * (C+R) * 16 u16 entries."""
     n = data.shape[0]
@@ -143,11 +175,14 @@ def _o1_warm(data, S, C, R, full, n_seg=64):
             seg = data
         prev = np.concatenate([[0], seg[:-1].astype(np.int32)])
         hi, lo = seg >> 4, seg & 15
-        ctx = np.minimum(prev, C - 1)
+        ctx = _np_hictx(prev, C, linlog)
         hc = np.zeros((C, 16), np.int64)
         np.add.at(hc, (ctx, hi), 1)
         if full:
             lcx = prev * 16 + hi
+        elif match:
+            base = np.where(hi == 0, np.minimum(prev, 15), 16 + hi)
+            lcx = np.where((prev >> 4) == hi, 32 + (prev & 15), base)
         elif R == 48:
             p15 = np.minimum(prev, 15)
             lcx = np.where(hi == 0, p15,
@@ -180,10 +215,14 @@ def measure(data: np.ndarray, variant: str) -> dict:
     o0 = spec == "o0"
     full = spec == "o1full"
     wide = spec.startswith("o1w")
+    match = spec.startswith("o1m")
+    linlog = match
     if o0:
         C, R = 1, 16
     elif full:
         C, R = 256, 4096
+    elif match:
+        C, R = int(spec[3:]), 48
     elif wide:
         C, R = int(spec[3:]), 48
     else:
@@ -196,12 +235,13 @@ def measure(data: np.ndarray, variant: str) -> dict:
     # contiguous sub-spans: set s pools lanes s*pool .. s*pool+pool-1
     slab = block.reshape(S, pool, K).transpose(0, 2, 1)
     if ow:
-        hi0, lo0, table_bytes = _o1_warm(data, S, C, R, full)
+        hi0, lo0, table_bytes = _o1_warm(data, S, C, R, full,
+                                         match=match, linlog=linlog)
     else:
         hi0, lo0 = _o0_warm(data, S, C, R, full)
         table_bytes = 544
     bits = float(_cost(jnp.asarray(slab.astype(np.int32)), K, C, full, o0,
-                       hi0, lo0, wide=wide))
+                       hi0, lo0, wide=wide, match=match, linlog=linlog))
     overhead = table_bytes + 4 * lanes + 4 * 64 + 256
     size = bits / 8 + overhead
     return {"variant": variant, "ideal_bytes": round(size),

@@ -5,164 +5,218 @@ M99 encodes a bit string by recursively halving it and coding each left-
 half ones-count c under its parent constraint: given parent total t and
 half size h, c lies in [max(0, t-h), min(t, h)] - an interval of size m
 that shrinks to 1 (zero bits) inside runs.  The reference walks this
-recursion sequentially with tuned range codes (bectab).
+recursion sequentially with tuned range codes (bectab12_.h is just an
+acceleration LUT for the same truncated-binary code this module emits:
+bec_bstm.h stmput0_ computes cl = bsr(n), msb-extension - identical
+widths).
 
-TPU re-design: process LEVELS, not nodes.  Level l has 2^l segments whose
-constraints depend only on level l-1 - so every level is one vectorized
-step and the whole codec is log2(K)-depth with NO sequential scan, for
-both encode and decode.  Slots use PHASE-IN codes over their constraint
-interval m (matching the reference's bectab code widths): a naive
-phase-in would make decode offsets data-dependent WITHIN a level, so the
-layout splits each level into a fixed-width prefix stream ((b-1)-bit
-fields, offsets known from the m's alone) and a 1-bit extras stream
-indexed by a prefix-sum of the "long code" mask - both fully parallel.
+Host re-design (round 3): process LEVELS, not nodes, over an ACTIVE
+SEGMENT SET.  Level l has 2^l segments whose constraints depend only on
+level l-1; segments whose parent count is saturated (0 or == size) have
+interval m = 1 and code zero bits, so they are pruned from the working
+set entirely - the round-2 formulation materialized every slot
+(2*planes*n of them), which is why its TPU decode measured 0.02 MB/s.
+With pruning, work is proportional to the number of UNRESOLVED segments
+(~= bit transitions), vectorized numpy per level.  SURVEY section 2.6
+marks bec "[host or kernel]"; the recursion's data-dependent active
+sets make it the host disposition, like the BWT itself.
 
-Bytes are coded as 8 bit-planes over the same hierarchy; 16-bit symbols
-(the reference's bec16 for UTF-8 ids, bec_b.c:84-88) as 16 planes.
+Slots use PHASE-IN (truncated binary) codes over their constraint
+interval m, split into a fixed-width prefix stream ((b-1)-bit fields,
+offsets known from the m's alone) and a 1-bit extras stream - the
+decoder knows every width before reading.
+
+Three registered codecs:
+  19  bec     wavelet-conditioned planes (plane b permuted by each
+              position's b-bit prefix): codes P(bit_b | prefix), which
+              carries the inter-plane mutual information the reference's
+              symbol-recursive M99 captures (measured 1.05x ref vs the
+              independent planes' 1.73x on real BWT text)
+  22  bec-i   independent bit planes over the same hierarchy
+  119 bec-16  16-bit symbols (reference bec16 for UTF-8 ids,
+              bec_b.c:84-88)
 """
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from turborc_tpu.codecs import blockio
+
+def _blc(m):
+    """ceil(log2(m)) for m >= 1 (bit length of m-1)."""
+    out = np.zeros(m.shape, np.int64)
+    v = (np.asarray(m, np.int64) - 1).clip(min=0)  # bits of (m-1)
+    for k in (16, 8, 4, 2, 1):
+        big = v >= (1 << k)
+        out += np.where(big, k, 0)
+        v >>= np.where(big, k, 0)
+    return out + (v > 0)
 
 
-def _bitlen_ceil(m):
-    """ceil(log2(m)) for m >= 1: number of k with 2^k < m.
+class _BitWriter:
+    """Append variable-width fields (vectorized); little-endian bit order
+    within u64 words (field k occupies bits [off, off+w))."""
 
-    Covers m up to 2^24: constraint intervals scale with the segment
-    size, and a 16-step loop silently truncated code widths for
-    m > 2^16 (i.e. blocks with K >= 2^17)."""
-    acc = jnp.zeros_like(m)
-    for k in range(24):
-        acc = acc + ((1 << k) < m).astype(m.dtype)
-    return acc
+    def __init__(self):
+        self.parts = []          # (values u64, widths i64) chunks
+        self.total = 0
 
+    def put(self, vals: np.ndarray, widths: np.ndarray):
+        if vals.size:
+            self.parts.append((vals.astype(np.uint64),
+                               widths.astype(np.int64)))
+            self.total += int(widths.sum())
 
-def _pack(values, nbits, maxw: int = 16):
-    """Pack per-slot values (flat, slot order) into a u32 word array.
-
-    values/nbits int32 [N]; returns (words uint32 [W], total_bits).
-    maxw bounds the widest field: root/phase-in widths grow with the
-    segment size, so callers pass ~K.bit_length() (a 16-bit assumption
-    silently truncated the stream at K >= 2^16)."""
-    offs = jnp.cumsum(nbits) - nbits
-    total = offs[-1] + nbits[-1] if nbits.shape[0] else jnp.int32(0)
-    W = values.shape[0] * maxw // 32 + 2
-    v = values.astype(jnp.uint32)
-    sh = (offs & 31).astype(jnp.uint32)
-    w = offs >> 5
-    lo = (v << sh).astype(jnp.uint32)
-    hi = jnp.where(sh > 0, v >> (32 - sh), 0).astype(jnp.uint32)
-    words = jnp.zeros((W,), jnp.uint32)
-    words = words.at[w].add(lo, mode="drop")
-    words = words.at[w + 1].add(hi, mode="drop")
-    return words, total
+    def pack(self) -> bytes:
+        if not self.parts:
+            return b""
+        vals = np.concatenate([v for v, _ in self.parts])
+        widths = np.concatenate([w for _, w in self.parts])
+        offs = np.cumsum(widths) - widths
+        W = (self.total + 63) // 64 + 1
+        words = np.zeros(W, np.uint64)
+        w = (offs >> 6).astype(np.int64)
+        sh = (offs & 63).astype(np.uint64)
+        lo = (vals << sh)
+        hi = np.where(sh > 0, vals >> (np.uint64(64) - sh), np.uint64(0))
+        np.bitwise_or.at(words, w, lo)
+        np.bitwise_or.at(words, w + 1, hi)
+        return words.tobytes()
 
 
-def _extract(words, offs, nbits):
-    """Read per-slot bit fields at offsets (vectorized gather + shifts)."""
-    w = offs >> 5
-    sh = (offs & 31).astype(jnp.uint32)
-    lo = words[w]
-    hi = words[w + 1]
-    val = (lo >> sh) | jnp.where(sh > 0, hi << (32 - sh), 0)
-    mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
-                     (jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1)
-    return (val & mask).astype(jnp.int32)
+class _BitReader:
+    """Sequential vectorized reads of variable-width field batches."""
+
+    def __init__(self, buf: bytes):
+        pad = (-len(buf)) % 8
+        self.words = np.frombuffer(buf + b"\0" * (8 + pad), np.uint64)
+        self.pos = 0
+
+    def get(self, widths: np.ndarray) -> np.ndarray:
+        widths = widths.astype(np.int64)
+        offs = self.pos + np.cumsum(widths) - widths
+        self.pos = int(self.pos + widths.sum())
+        if self.pos > (len(self.words) - 1) * 64:
+            raise ValueError("corrupt payload: bec stream overruns")
+        w = (offs >> 6).astype(np.int64)
+        sh = (offs & 63).astype(np.uint64)
+        lo = self.words[w] >> sh
+        hi = np.where(sh > 0, self.words[w + 1] << (np.uint64(64) - sh),
+                      np.uint64(0))
+        mask = np.where(widths >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
+                        (np.uint64(1) << widths.astype(np.uint64))
+                        - np.uint64(1))
+        return ((lo | hi) & mask).astype(np.int64)
 
 
-def _phase_in_enc(v, m):
-    """Phase-in code fields for v in [0, m): ((prefix, b-1 bits),
-    (extra bit, 1 bit iff long code)).  b = ceil(log2 m); the first
-    T = 2^b - m values use the short (b-1)-bit code."""
-    b = _bitlen_ceil(m)
-    T = (jnp.int32(1) << b) - m
+def _phase_in_fields(v, m):
+    """Truncated-binary fields for v in [0, m): (prefix, wpre, extra,
+    wext).  b = ceil(log2 m); first T = 2^b - m values use b-1 bits."""
+    b = _blc(m)
+    T = (np.int64(1) << b) - m
     short = v < T
-    pre = jnp.where(short, v, (v + T) >> 1)
-    ext = jnp.where(short, 0, (v + T) & 1)
-    wpre = jnp.maximum(b - 1, 0)
-    wext = jnp.where(short | (b == 0), 0, 1)
+    pre = np.where(short, v, (v + T) >> 1)
+    ext = np.where(short, 0, (v + T) & 1)
+    wpre = np.maximum(b - 1, 0)
+    wext = np.where(short | (b == 0), 0, 1)
     return pre, wpre, ext, wext
 
 
-@functools.partial(jax.jit, static_argnames=("K", "planes"))
-def encode_device(block: jnp.ndarray, K: int, planes: int = 8):
-    """block [L, K] symbols (K power of two) -> (words u32, total_bits)."""
-    L = block.shape[0]
-    pl = jnp.stack([(block >> b) & 1 for b in range(planes)])
-    bits = pl.reshape(planes * L, K)
-    levels = K.bit_length() - 1
+def _phase_in_read(rd: _BitReader, m):
+    b = _blc(m)
+    T = (np.int64(1) << b) - m
+    pre = rd.get(np.maximum(b - 1, 0))
+    need = (pre >= T) & (b >= 1)
+    ext = rd.get(need.astype(np.int64))
+    return np.where(need, ((pre << 1) | ext) - T, pre)
 
-    # count pyramid: counts[l] has 2^l segments of size K >> l
-    counts = [bits.astype(jnp.int32)]
-    c = counts[0]
+
+def _encode_forest(bits2d: np.ndarray, wr: _BitWriter):
+    """bits2d: [R, K] 0/1 rows (K power of two).  Each row is one M99
+    tree; rows batch as a forest because with row-major level layout the
+    children of flat node f at level l are exactly 2f and 2f+1.  Emits
+    R root counts + per-level phase-in fields over the active set."""
+    R, K = bits2d.shape
+    levels = int(K).bit_length() - 1
+    pyramid = [bits2d.reshape(-1).astype(np.int64)]
+    c = pyramid[0]
     for _ in range(levels):
-        c = c.reshape(c.shape[0], -1, 2).sum(-1)
-        counts.append(c)
-    counts = counts[::-1]  # counts[0] = root totals [planes*L, 1]
-
-    vals, bitws = [], []
-    # root: fixed width over [0, K]
-    rootw = int(np.ceil(np.log2(K + 1)))
-    vals.append(counts[0].reshape(-1))
-    bitws.append(jnp.full((planes * L,), rootw, jnp.int32))
+        c = c.reshape(-1, 2).sum(-1)
+        pyramid.append(c)
+    pyramid = pyramid[::-1]       # pyramid[l]: [R * 2^l] segment counts
+    rootw = int(K).bit_length()   # root value in [0, K]
+    roots = pyramid[0]
+    wr.put(roots, np.full(R, rootw))
+    active = np.flatnonzero((roots > 0) & (roots < K))
     for l in range(levels):
-        t = counts[l]                      # [planes*L, 2^l] parent totals
-        h = K >> (l + 1)                   # half size
-        left = counts[l + 1][:, 0::2]
-        lo = jnp.maximum(0, t - h)
-        m = jnp.minimum(t, h) - lo + 1
-        pre, wpre, ext, wext = _phase_in_enc((left - lo).reshape(-1),
-                                             m.reshape(-1))
-        vals += [pre, ext]
-        bitws += [wpre, wext]
-    return _pack(jnp.concatenate(vals), jnp.concatenate(bitws),
-                 maxw=max(16, K.bit_length() + 1))
+        if active.size == 0:
+            break
+        h = K >> (l + 1)          # half size at this level
+        t = pyramid[l][active]
+        left = pyramid[l + 1][2 * active]
+        lo = np.maximum(0, t - h)
+        m = np.minimum(t, h) - lo + 1
+        pre, wpre, ext, wext = _phase_in_fields(left - lo, m)
+        wr.put(pre, wpre)
+        wr.put(ext, wext)
+        if l + 1 < levels:        # children with 0 < count < child size
+            kids = np.stack([2 * active, 2 * active + 1], -1).reshape(-1)
+            kc = pyramid[l + 1][kids]
+            active = kids[(kc > 0) & (kc < h)]
 
 
-@functools.partial(jax.jit, static_argnames=("K", "L", "planes"))
-def decode_device(words: jnp.ndarray, K: int, L: int, planes: int = 8):
-    levels = K.bit_length() - 1
-    rootw = int(np.ceil(np.log2(K + 1)))
-    n = planes * L
-    base = jnp.int32(0)
-    offs = jnp.arange(n, dtype=jnp.int32) * rootw
-    t = _extract(words, offs, jnp.full((n,), rootw, jnp.int32))
-    base = base + n * rootw
-    t = t.reshape(n, 1)
+def _decode_forest(rd: _BitReader, R: int, K: int) -> np.ndarray:
+    """Inverse of _encode_forest: returns bits2d [R, K] uint8."""
+    levels = int(K).bit_length() - 1
+    rootw = int(K).bit_length()
+    counts = rd.get(np.full(R, rootw))
+    if (counts < 0).any() or (counts > K).any():
+        raise ValueError("corrupt payload: bec root count out of range")
+    active = np.flatnonzero((counts > 0) & (counts < K))
     for l in range(levels):
         h = K >> (l + 1)
-        lo = jnp.maximum(0, t - h)
-        m = (jnp.minimum(t, h) - lo + 1).reshape(-1)
-        b = _bitlen_ceil(m)
-        T = (jnp.int32(1) << b) - m
-        wpre = jnp.maximum(b - 1, 0)
-        offs = base + jnp.cumsum(wpre) - wpre
-        p = _extract(words, offs, wpre)
-        base = base + jnp.sum(wpre)
-        need = (p >= T) & (b >= 1)
-        nb = need.astype(jnp.int32)
-        offs = base + jnp.cumsum(nb) - nb
-        e = _extract(words, offs, nb)
-        base = base + jnp.sum(nb)
-        v = jnp.where(need, ((p << 1) | e) - T, p)
-        left = v.reshape(t.shape) + lo
-        right = t - left
-        t = jnp.stack([left, right], axis=-1).reshape(n, -1)
-    pls = t.reshape(planes, L, K)
-    return _treesum_planes(pls, planes)
+        nxt = np.empty(counts.size * 2, np.int64)
+        # saturated segments split trivially (all-zero / all-one fill)
+        nxt[0::2] = np.minimum(counts, h)
+        nxt[1::2] = counts - nxt[0::2]
+        if active.size:
+            t = counts[active]
+            lo = np.maximum(0, t - h)
+            m = np.minimum(t, h) - lo + 1
+            v = _phase_in_read(rd, m)
+            if (v < 0).any() or (v >= m).any():
+                raise ValueError("corrupt payload: bec count out of range")
+            left = v + lo
+            nxt[2 * active] = left
+            nxt[2 * active + 1] = t - left
+        counts = nxt
+        if l + 1 < levels:
+            if active.size:
+                kids = np.stack([2 * active, 2 * active + 1],
+                                -1).reshape(-1)
+                kc = counts[kids]
+                active = kids[(kc > 0) & (kc < h)]
+            else:
+                active = np.zeros(0, np.int64)
+    return counts.reshape(R, K).astype(np.uint8)
 
 
-def _treesum_planes(planes_arr, planes):
-    out = planes_arr[0]
-    for b in range(1, planes):
-        out = out | (planes_arr[b] << b)
-    return out
+def _pow2_K(n_elems: int, lanes: int, step_quant: int) -> int:
+    return max(step_quant,
+               1 << int(np.ceil(np.log2(max(-(-n_elems // lanes), 1)))))
+
+
+def _frame(wr: _BitWriter) -> bytes:
+    body = wr.pack()
+    return int(wr.total).to_bytes(8, "little") + body
+
+
+def _reader(payload: bytes) -> _BitReader:
+    if len(payload) < 8:
+        raise ValueError("corrupt payload: truncated bec header")
+    total = int.from_bytes(payload[:8], "little")
+    if len(payload) - 8 < (total + 7) // 8 - 7:
+        raise ValueError("corrupt payload: bec stream too short")
+    return _BitReader(payload[8:])
 
 
 def _make_block_api(esize: int):
@@ -170,31 +224,29 @@ def _make_block_api(esize: int):
 
     def encode_block(data: np.ndarray, lanes: int = 64,
                      step_quant: int = 1024, **_unused) -> bytes:
-        # K must be a power of two
         elems = data if esize == 1 else _to_u16(data)
         n = elems.shape[0]
-        K = max(step_quant,
-                1 << int(np.ceil(np.log2(max(-(-n // lanes), 1)))))
+        K = _pow2_K(n, lanes, step_quant)
         padded = np.zeros(lanes * K, np.uint16 if esize == 2 else np.uint8)
         padded[:n] = elems
-        block = jnp.asarray(padded.reshape(lanes, K).astype(np.int32))
-        words, total = encode_device(block, K, planes)
-        nw = (int(total) + 31) // 32
-        return int(total).to_bytes(8, "little") + \
-            np.asarray(words)[:nw].astype("<u4").tobytes()
+        rows = padded.reshape(lanes, K).astype(np.int64)
+        wr = _BitWriter()
+        planes_bits = np.concatenate(
+            [(rows >> b) & 1 for b in range(planes)], axis=0)
+        _encode_forest(planes_bits, wr)
+        return _frame(wr)
 
     def decode_block(payload: bytes, n: int, lanes: int = 64,
                      step_quant: int = 1024, **_unused) -> np.ndarray:
         n_elems = -(-n // esize)
-        K = max(step_quant,
-                1 << int(np.ceil(np.log2(max(-(-n_elems // lanes), 1)))))
-        total = int.from_bytes(payload[:8], "little")
-        words = np.zeros(((total + 31) // 32) + 2, np.uint32)
-        raw = np.frombuffer(payload[8:], "<u4")
-        words[:raw.shape[0]] = raw
-        block = np.asarray(decode_device(jnp.asarray(words), K, lanes,
-                                         planes))
-        flat = block.reshape(-1)[:n_elems]
+        K = _pow2_K(n_elems, lanes, step_quant)
+        rd = _reader(payload)
+        bits = _decode_forest(rd, planes * lanes, K).astype(np.int64)
+        bits = bits.reshape(planes, lanes, K)
+        acc = np.zeros((lanes, K), np.int64)
+        for b in range(planes):
+            acc |= bits[b] << b
+        flat = acc.reshape(-1)[:n_elems]
         if esize == 1:
             return flat.astype(np.uint8)
         return flat.astype("<u2").view(np.uint8)[:n]
@@ -209,87 +261,68 @@ def _to_u16(data: np.ndarray) -> np.ndarray:
     return data.view("<u2")
 
 
-encode_block, decode_block = _make_block_api(1)
+encode_block_i, decode_block_i = _make_block_api(1)
 encode_block16, decode_block16 = _make_block_api(2)
 
 
 # ---------------------------------------------------------------------------
-# bec-w: wavelet-conditioned planes.  Independent bit-planes (above) lose
-# the mutual information BETWEEN planes - measured 1.73x the reference
-# bec's size on real BWT text (BENCH_REAL_r02.json), where the
-# reference's M99 conditions on symbol identity.  Here plane b's bits
+# bec (id 19, round-3 default): wavelet-conditioned planes.  Independent
+# bit-planes lose the mutual information BETWEEN planes - measured 1.73x
+# the reference bec's size on real BWT text (BENCH_REAL_r02.json), where
+# the reference's M99 conditions on symbol identity.  Here plane b's bits
 # are stably permuted by each position's b-bit prefix (planes are
 # MSB-first), so the binary count hierarchy codes P(bit_b | prefix)
 # within contiguous prefix groups: summed over planes that reaches the
 # byte-conditional entropy (a wavelet tree with M99 as the node coder),
 # while stable order preserves position locality inside each group.
 # The decoder reconstructs the identical permutation from the planes it
-# has already decoded, so plane streams are framed individually.
+# has already decoded.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("K", "b"))
-def _plane_perm_enc(block, K, b):
-    """(permuted bits of plane b, nothing else): stable sort by the
-    b-bit prefix per lane row."""
-    bit = (block >> (7 - b)) & 1
-    if b == 0:
-        return bit
-    prefix = block >> (8 - b)
-    perm = jnp.argsort(prefix, axis=1, stable=True)
-    return jnp.take_along_axis(bit, perm, axis=1)
-
-
-@functools.partial(jax.jit, static_argnames=("K", "b"))
-def _plane_unperm_dec(acc, bits_perm, K, b):
-    """Scatter plane b's decoded (permuted) bits back and OR into acc."""
-    if b == 0:
-        bit = bits_perm
-    else:
-        prefix = acc >> (8 - b)
-        perm = jnp.argsort(prefix, axis=1, stable=True)
-        L = acc.shape[0]
-        rows = jnp.arange(L, dtype=jnp.int32)[:, None]
-        bit = jnp.zeros_like(acc).at[rows, perm].set(bits_perm)
-    return acc | (bit << (7 - b))
+def _stable_perm_by_prefix(prefix: np.ndarray) -> np.ndarray:
+    """[L, K] keys -> [L, K] stable per-row argsort (counting-style via
+    one global stable argsort on row-offset keys)."""
+    L, K = prefix.shape
+    keys = prefix.astype(np.int64) + \
+        (np.arange(L, dtype=np.int64)[:, None] << 32)
+    return np.argsort(keys.reshape(-1), kind="stable").reshape(L, K) \
+        - (np.arange(L, dtype=np.int64)[:, None] * K)
 
 
 def encode_block_w(data: np.ndarray, lanes: int = 64,
                    step_quant: int = 1024, **_unused) -> bytes:
     n = data.shape[0]
-    K = max(step_quant,
-            1 << int(np.ceil(np.log2(max(-(-n // lanes), 1)))))
+    K = _pow2_K(n, lanes, step_quant)
     padded = np.zeros(lanes * K, np.uint8)
     padded[:n] = data
-    block = jnp.asarray(padded.reshape(lanes, K).astype(np.int32))
-    out = []
+    block = padded.reshape(lanes, K).astype(np.int64)
+    wr = _BitWriter()
     for b in range(8):
-        bits = _plane_perm_enc(block, K, b)
-        words, total = encode_device(bits, K, 1)
-        nw = (int(total) + 31) // 32
-        out.append(int(total).to_bytes(8, "little")
-                   + np.asarray(words)[:nw].astype("<u4").tobytes())
-    return b"".join(len(p).to_bytes(4, "little") + p for p in out)
+        bit = (block >> (7 - b)) & 1
+        if b > 0:
+            perm = _stable_perm_by_prefix(block >> (8 - b))
+            bit = np.take_along_axis(bit, perm, axis=1)
+        _encode_forest(bit, wr)
+    return _frame(wr)
 
 
 def decode_block_w(payload: bytes, n: int, lanes: int = 64,
                    step_quant: int = 1024, **_unused) -> np.ndarray:
-    K = max(step_quant,
-            1 << int(np.ceil(np.log2(max(-(-n // lanes), 1)))))
-    acc = jnp.zeros((lanes, K), jnp.int32)
-    off = 0
+    K = _pow2_K(n, lanes, step_quant)
+    rd = _reader(payload)
+    acc = np.zeros((lanes, K), np.int64)
+    rows = np.arange(lanes, dtype=np.int64)[:, None]
     for b in range(8):
-        if off + 4 > len(payload):
-            raise ValueError("corrupt payload: truncated bec-w plane")
-        ln = int.from_bytes(payload[off:off + 4], "little")
-        off += 4
-        sub = payload[off:off + ln]
-        if len(sub) != ln or ln < 8:
-            raise ValueError("corrupt payload: bec-w plane overruns")
-        off += ln
-        total = int.from_bytes(sub[:8], "little")
-        words = np.zeros(((total + 31) // 32) + 2, np.uint32)
-        raw = np.frombuffer(sub[8:], "<u4")
-        words[:raw.shape[0]] = raw
-        bits = decode_device(jnp.asarray(words), K, lanes, 1)
-        acc = _plane_unperm_dec(acc, bits, K, b)
-    return np.asarray(acc).reshape(-1)[:n].astype(np.uint8)
+        bits = _decode_forest(rd, lanes, K).astype(np.int64)
+        if b > 0:
+            perm = _stable_perm_by_prefix(acc >> (8 - b))
+            out = np.zeros_like(bits)
+            out[rows, perm] = bits
+            bits = out
+        acc |= bits << (7 - b)
+    return acc.reshape(-1)[:n].astype(np.uint8)
+
+
+# id 19 rides the wavelet-conditioned design (VERDICT round-2 item 5:
+# promote bec-w); the independent-plane variant stays as bec-i (id 22).
+encode_block, decode_block = encode_block_w, decode_block_w

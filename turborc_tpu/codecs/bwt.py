@@ -3,12 +3,12 @@
 Host stage: our clean-room SA-IS BWT (host/sais.cpp) replaces the
 reference's libsais/libdivsufsort dependency.  TPU stage: the BWT output
 (run-structured) goes through a lane-interleaved entropy codec selected by
-`level`, mirroring rcbwt.c:83-94's level switch:
+`level`, matching rcbwt.c:83-94's level switch:
 
-  level 0: store    3/4: rcrle    5/6: bitwise o1 (dual-speed)
-  7: adaptive-CDF rANS    8: QLFC    9: rcmrr context-mixing (best
-  ratio)    10: auto-dispatch kernel flagship (TPU-speed stage; no
-  reference analog)
+  level 0: store    2: bec (wavelet-conditioned)    3/4: rcrle
+  5/6: rcrle1 (run-history contexts)    7/8: rcqlfc    9: rcmrr
+  context-mixing (best ratio)    10: auto-dispatch kernel flagship
+  (TPU-speed stage; no reference analog)
 
 Payload: u64 primary index + u8 stage id + stage payload.
 """
@@ -67,25 +67,36 @@ def _auto_dec(payload, n, **_kw):
     return rans_auto.decode_block(payload, n)
 
 
+def _bec_enc(data, **_kw):
+    from turborc_tpu.codecs import bec
+    return bec.encode_block_w(data)
+
+
+def _bec_dec(payload, n, **_kw):
+    from turborc_tpu.codecs import bec
+    return bec.decode_block_w(payload, n)
+
+
+# Level map matches rcbwt.c:83-94 (lev 2 bec, 3/4 rcrle, 5/6 rcrle1,
+# 7/8 rcqlfc, 9 rcmrr); stage 7 (adaptive-CDF rANS) and stage 10 (the
+# auto-dispatching kernel flagship, the TPU-speed point with no
+# reference analog) are extra operating points.
 _STAGES = {
-    2: ("rle", rle.encode_block, rle.decode_block),
-    3: ("rle", rle.encode_block, rle.decode_block),
-    4: ("rle", rle.encode_block, rle.decode_block),
-    5: ("rc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode),
-    6: ("rc-o1-ss", rc_bit.rcc_ss_encode, rc_bit.rcc_ss_decode),
+    2: ("bec", _bec_enc, _bec_dec),
+    3: ("rcrle", rle.encode_block, rle.decode_block),
+    4: ("rcrle", rle.encode_block, rle.decode_block),
+    5: ("rcrle1", rle.encode_block_o1, rle.decode_block_o1),
+    6: ("rcrle1", rle.encode_block_o1, rle.decode_block_o1),
     7: ("rans-cdf", rans_cdf_o0.encode_block, rans_cdf_o0.decode_block),
-    8: ("qlfc", _qlfc_enc, _qlfc_dec),     # ref rcbwt.c:83-94 lev 7/8
+    8: ("qlfc", _qlfc_enc, _qlfc_dec),     # ref rcbwt.c default lev 8
     9: ("rcmrr", _rcmrr_enc, _rcmrr_dec),  # ref rcbwt.c:94 lev 9
-    # level 10 (no reference analog): the auto-dispatching kernel
-    # flagship as the stage - the TPU-speed BWT point (~2 orders of
-    # magnitude faster stage decode than the scan stages on hardware;
-    # BWT output is run-structured, so the dispatch picks the o1 arm)
     10: ("rans-auto", _auto_enc, _auto_dec),
 }
-_STAGE_IDS = {2: 2, 3: 2, 4: 2, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9,
+_STAGE_IDS = {2: 2, 3: 3, 4: 3, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9,
               10: 10}
-_BY_STAGE_ID = {2: _STAGES[2], 5: _STAGES[5], 7: _STAGES[7],
-                8: _STAGES[8], 9: _STAGES[9], 10: _STAGES[10]}
+_BY_STAGE_ID = {2: _STAGES[2], 3: _STAGES[3], 5: _STAGES[5],
+                7: _STAGES[7], 8: _STAGES[8], 9: _STAGES[9],
+                10: _STAGES[10]}
 
 
 def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,

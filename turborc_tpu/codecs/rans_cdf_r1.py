@@ -4,10 +4,21 @@ Reference capability: anscdf1 (anscdf.c:607-645, bench id 64) - nibble
 CDFs keyed on the previous byte.  The TPU redesign quantizes the context
 through the frequency-rank remap so the per-lane model fits VMEM (see
 ops/pallas/rans_o1_kernel.py for the wiring and the measured decision
-trail in bench/o1cost.py):
+trail in bench/o1cost.py).  Round-3 wiring (o1cost variant o1m32+ow,
+17.11% vs the round-2 o1r16's 19.13% on realsrcbwt16; the static
+conditional-entropy decomposition that found it is in the round notes):
 
-    ctx  = min(prev_rank, 15)        hi | ctx    (16 rows)
-    locx = hi == 0 ? ctx : 16 + hi   lo | locx   (32 rows)
+    ctx  = prev < 24 ? prev : 24 + min(bitlen(prev - 23), 7)
+           hi | ctx  (32 rows: low ranks exact, log2 buckets above)
+    locx = prev>>4 == hi ? 32 + (prev & 15)          # match plane
+         : hi == 0       ? min(prev, 15) : 16 + hi
+           lo | locx (48 rows)
+
+The 16-row MATCH PLANE (prev's lo rank, active when prev's hi nibble
+equals the current hi) carries most of the order-1 information the
+round-2 wiring missed: BWT runs make prev == cur dominant, and when the
+hi nibble repeats, prev's lo nibble nearly determines lo (measured
+H(lo|locx) 1.99 -> 1.15 bits vs 1.04 for the full 4096-row context).
 
 Lanes code CONTIGUOUS spans (no share-span striding - the o1 context
 must be the lane's own previous byte) and the adaptation ramp is paid
@@ -30,9 +41,38 @@ from turborc_tpu.codecs import blockio
 from turborc_tpu.models import cdf16
 from turborc_tpu.ops import rans
 
-NCTX = 16
-LROWS = 32
+NCTX = 32
+LROWS = 48
+LIN = NCTX - 8                   # exact-rank rows before log2 buckets
 N_ENTRIES = (NCTX + LROWS) * 16  # warm-table u8 codes per group
+
+
+def hictx(prev):
+    """hi-nibble context row (jnp): ranks < LIN exact, log2 above."""
+    v = jnp.maximum(prev - (LIN - 1), 1)
+    bl = (1 + (v >= 2) + (v >= 4) + (v >= 8) + (v >= 16)
+          + (v >= 32) + (v >= 64) + (v >= 128)).astype(prev.dtype)
+    return jnp.where(prev < LIN, prev, LIN + jnp.minimum(bl, 7))
+
+
+def locx_of(prev, hi):
+    """lo-nibble context row (jnp): match plane / prev rank / hi."""
+    base = jnp.where(hi == 0, jnp.minimum(prev, 15), 16 + hi)
+    return jnp.where((prev >> 4) == hi, 32 + (prev & 15), base)
+
+
+def np_hictx(prev):
+    bl = np.zeros(257, np.int64)
+    for i in range(1, 257):
+        bl[i] = i.bit_length()
+    return np.where(prev < LIN, prev,
+                    LIN + np.minimum(bl[np.maximum(prev - (LIN - 1), 1)],
+                                     7))
+
+
+def np_locx(prev, hi):
+    base = np.where(hi == 0, np.minimum(prev, 15), 16 + hi)
+    return np.where((prev >> 4) == hi, 32 + (prev & 15), base)
 
 
 # ---------------------------------------------------------------------------
@@ -52,12 +92,12 @@ def _step_model(cdf_hi, cdf_lo, prev, b):
     """One o1 nibble-pair step.  Returns (cdf_hi, cdf_lo, low_h, fr_h,
     low_l, fr_l)."""
     hi, lo = b >> 4, b & 15
-    ctx = jnp.minimum(prev, NCTX - 1)
+    ctx = hictx(prev)
     csel = jax.nn.one_hot(ctx, NCTX, dtype=cdf_hi.dtype)
     hrow = _row_get(cdf_hi, csel)
     low_h, fr_h = cdf16.lookup(hrow, hi)
     cdf_hi = _row_put(cdf_hi, csel, hrow, cdf16.update(hrow, low_h))
-    locx = jnp.where(hi == 0, ctx, 16 + hi)
+    locx = locx_of(prev, hi)
     lsel = jax.nn.one_hot(locx, LROWS, dtype=cdf_lo.dtype)
     lrow = _row_get(cdf_lo, lsel)
     low_l, fr_l = cdf16.lookup(lrow, lo)
@@ -97,7 +137,7 @@ def decode_device(streams: jnp.ndarray, K: int, hi0, lo0):
 
     def dec(carry, _):
         cdf_hi, cdf_lo, prev, state, pos = carry
-        ctx = jnp.minimum(prev, NCTX - 1)
+        ctx = hictx(prev)
         csel = jax.nn.one_hot(ctx, NCTX, dtype=cdf_hi.dtype)
         hrow = _row_get(cdf_hi, csel)
         value = (state & rans.MASK15).astype(jnp.int32)
@@ -106,7 +146,7 @@ def decode_device(streams: jnp.ndarray, K: int, hi0, lo0):
         cdf_hi = _row_put(cdf_hi, csel, hrow, cdf16.update(hrow, low_h))
         state, pos = rans.dec_renorm(state, streams, pos)
 
-        locx = jnp.where(hi == 0, ctx, 16 + hi)
+        locx = locx_of(prev, hi)
         lsel = jax.nn.one_hot(locx, LROWS, dtype=cdf_lo.dtype)
         lrow = _row_get(cdf_lo, lsel)
         value = (state & rans.MASK15).astype(jnp.int32)
@@ -136,10 +176,10 @@ def o1_counts(seg: np.ndarray):
     s = seg.astype(np.int32)
     prev = np.concatenate([[0], s[:-1]])
     hi, lo = s >> 4, s & 15
-    ctx = np.minimum(prev, NCTX - 1)
+    ctx = np_hictx(prev)
     hc = np.zeros((NCTX, 16), np.int64)
     np.add.at(hc, (ctx, hi), 1)
-    lcx = np.where(hi == 0, ctx, 16 + hi)
+    lcx = np_locx(prev, hi)
     lc = np.zeros((LROWS, 16), np.int64)
     np.add.at(lc, (lcx, lo), 1)
     return hc, lc

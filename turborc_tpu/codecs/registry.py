@@ -243,13 +243,16 @@ def _lazy_init():
         register(cid, variant, enc, dec, desc)
     from turborc_tpu.codecs import bec
     register(19, "bec", bec.encode_block, bec.decode_block,
-             "M99-style hierarchical bit EC, level-parallel, phase-in "
-             "codes (ref id 19)")
+             "M99-style hierarchical bit EC, wavelet-conditioned planes, "
+             "active-set level-parallel host coder (ref id 19)")
     register(119, "bec-16", bec.encode_block16, bec.decode_block16,
-             "bec over 16-bit symbols (ref bec16, bec_b.c:84-88)")
+             "bec over 16-bit symbols, independent planes (ref bec16, "
+             "bec_b.c:84-88)")
     register(21, "bec-w", bec.encode_block_w, bec.decode_block_w,
-             "wavelet-conditioned bec: plane bits permuted by symbol "
-             "prefix, M99 hierarchy per plane (byte-conditional entropy)")
+             "alias of id 19 (the round-2 bec-w design, promoted)")
+    register(22, "bec-i", bec.encode_block_i, bec.decode_block_i,
+             "bec with independent bit planes (round-2 id-19 design "
+             "point; loses inter-plane mutual information)")
     from turborc_tpu.codecs import qlfc
     register(18, "rcqlfc", qlfc.encode_block, qlfc.decode_block,
              "QLFC: run-split MTF ranks + adaptive CDF16 rank stage + "

@@ -5,15 +5,17 @@ anscdf_.h:121-126), bench id 64 - both nibble CDFs keyed on the full
 previous byte.  A 256-context per-lane model is ~134 MB of VMEM state at
 8192 lanes, so the TPU design quantizes the context through the
 frequency-rank remap that the flagship payload already carries: after
-remap byte value == frequency rank, and
+remap byte value == frequency rank.  Round-3 wiring (o1cost o1m32+ow,
+17.11% vs round-2's 19.13% on realsrcbwt16; see rans_cdf_r1 docstring):
 
-    ctx  = min(prev, 15)                   hi nibble model, 16 rows
-    locx = hi == 0 ? ctx : 16 + hi         lo nibble model, 32 rows
+    ctx  = prev < 24 ? prev : 24 + min(bitlen(prev-23), 7)   (32 rows)
+    locx = prev>>4 == hi ? 32 + (prev & 15)    # 16-row MATCH PLANE
+         : hi == 0       ? min(prev, 15) : 16 + hi           (48 rows)
 
-preserves most of the order-1 mutual information on BWT-shaped data
-(runs make prev == cur the dominant event, and hot symbols are exactly
-the low ranks).  Model wiring chosen from measured ideal-bits sweeps
-(bench/o1cost.py) on the real-text BWT corpus.
+The match plane carries most of the order-1 lo information on BWT data
+(measured H(lo|locx): 1.99 -> 1.15 bits vs 1.04 at the full context).
+Model wiring chosen from measured ideal-bits sweeps (bench/o1cost.py)
+on the real-text BWT corpus.
 
 Unlike the share-span o0 kernels there is NO cross-lane model sharing:
 each lane codes a contiguous span with its own chain (the order-1
@@ -48,18 +50,33 @@ CHUNK = K_.CHUNK
 WROWS = K_.WROWS
 INTERPRET = K_.INTERPRET
 
-NCTX = 16   # hi-nibble contexts: min(prev_rank, 15)
-LROWS = 32  # lo rows: 0-15 keyed by ctx when hi==0, 16+hi otherwise
+# Context wiring constants shared with the XLA twin (codecs/rans_cdf_r1)
+from turborc_tpu.codecs.rans_cdf_r1 import LIN, LROWS, NCTX  # noqa: E402
 
 
 def _ctx_of(prev):
-    return jnp.minimum(prev, NCTX - 1)
+    """hi context row: ranks < LIN exact, log2 buckets above (32 rows)."""
+    v = jnp.maximum(prev - (LIN - 1), 1)
+    bl = (1 + (v >= 2).astype(jnp.int32) + (v >= 4).astype(jnp.int32)
+          + (v >= 8).astype(jnp.int32) + (v >= 16).astype(jnp.int32)
+          + (v >= 32).astype(jnp.int32) + (v >= 64).astype(jnp.int32)
+          + (v >= 128).astype(jnp.int32))
+    return jnp.where(prev < LIN, prev, LIN + jnp.minimum(bl, 7))
 
 
 def _select_row(table, bits, base=0):
     """entry list [16] of (G,128) tiles selected from table[base+idx]."""
     return [K_._select16([table[base + c, i] for c in range(16)], *bits)
             for i in range(16)]
+
+
+def _select_row32(table, ctx):
+    """entry list [16] selected from table[ctx] over 32 rows."""
+    bits = K_._idx_bits(ctx)
+    b4 = (ctx & 16) != 0
+    lo16 = _select_row(table, bits, base=0)
+    hi16 = _select_row(table, bits, base=16)
+    return [jnp.where(b4, hi16[i], lo16[i]) for i in range(16)]
 
 
 def _writeback(table, idx, new_row, base=0, rows=16):
@@ -80,13 +97,24 @@ def _init_tables_o1(cdf_hi, cdf_lo, hi_tbl, lo_tbl):
             cdf_lo[r, i] = lo_tbl[r, i]
 
 
-def _code_lo_row(cdf_lo, cb, hb, hi):
-    """Select the lo row for (ctx, hi): rows 0-15 by ctx when hi==0,
-    rows 16-31 by hi otherwise."""
-    row_a = _select_row(cdf_lo, cb, base=0)
+def _locx_of(prev, hi):
+    base = jnp.where(hi == 0, jnp.minimum(prev, 15), 16 + hi)
+    return jnp.where((prev >> 4) == hi, 32 + (prev & 15), base)
+
+
+def _code_lo_row(cdf_lo, prev, hb, hi):
+    """Select the lo row for (prev, hi): the match plane (rows 32-47,
+    keyed by prev's lo rank) when prev's hi nibble equals hi, else rows
+    0-15 by min(prev,15) when hi==0, else rows 16-31 by hi."""
+    pb = K_._idx_bits(jnp.minimum(prev, 15))
+    mb = K_._idx_bits(prev & 15)
+    row_a = _select_row(cdf_lo, pb, base=0)
     row_b = _select_row(cdf_lo, hb, base=16)
+    row_c = _select_row(cdf_lo, mb, base=32)
+    m = (prev >> 4) == hi
     hz = hi == 0
-    return [jnp.where(hz, row_a[i], row_b[i]) for i in range(16)]
+    return [jnp.where(m, row_c[i], jnp.where(hz, row_a[i], row_b[i]))
+            for i in range(16)]
 
 
 # ---------------------------------------------------------------------------
@@ -135,20 +163,20 @@ def _make_decode_kernel(g: Geom):
 
         for t in range(g.chunk):
             ctx = _ctx_of(prev)
-            cb = K_._idx_bits(ctx)
-            hi_row = _select_row(cdf_hi, cb)
+            hi_row = _select_row32(cdf_hi, ctx)
             state, hi, low_h = K_._dec_search(state, hi_row)
             state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
                                                   consumed)
-            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h))
+            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h),
+                       rows=NCTX)
 
             hb = K_._idx_bits(hi)
-            row_t = _code_lo_row(cdf_lo, cb, hb, hi)
+            row_t = _code_lo_row(cdf_lo, prev, hb, hi)
             state, lo, low_l = K_._dec_search(state, row_t)
             state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
                                                   consumed)
             new_row = K_._cdf_update(row_t, low_l)
-            locx = jnp.where(hi == 0, ctx, 16 + hi)
+            locx = _locx_of(prev, hi)
             _writeback(cdf_lo, locx, new_row, rows=LROWS)
 
             b = (hi << 4) | lo
@@ -239,15 +267,15 @@ def _make_model_kernel(g: Geom):
             b = block_ref[t]
             hi, lo = b >> 4, b & 15
             ctx = _ctx_of(prev)
-            cb = K_._idx_bits(ctx)
-            hi_row = _select_row(cdf_hi, cb)
+            hi_row = _select_row32(cdf_hi, ctx)
             low_h, fr_h = K_._cdf_lookup(hi_row, hi)
-            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h))
+            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h),
+                       rows=NCTX)
 
             hb = K_._idx_bits(hi)
-            row_t = _code_lo_row(cdf_lo, cb, hb, hi)
+            row_t = _code_lo_row(cdf_lo, prev, hb, hi)
             low_l, fr_l = K_._cdf_lookup(row_t, lo)
-            locx = jnp.where(hi == 0, ctx, 16 + hi)
+            locx = _locx_of(prev, hi)
             _writeback(cdf_lo, locx, K_._cdf_update(row_t, low_l),
                        rows=LROWS)
 
