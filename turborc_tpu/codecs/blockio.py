@@ -240,8 +240,8 @@ def pack_device(streams_dev, lengths_dev) -> bytes:
         raise ValueError("lane stream exceeds u16 length field")
     m = _round512(int(lengths.max()), streams_dev.shape[1])
     mat = np.asarray(slice_cols(streams_dev, m))
-    flat = np.concatenate([mat[i, :lengths[i]]
-                           for i in range(lengths.size)])
+    keep = np.arange(m)[None, :] < lengths[:, None]
+    flat = mat[keep]
     return lengths.astype("<u2").tobytes() + flat.tobytes()
 
 
@@ -258,11 +258,8 @@ def unpack_device(payload: bytes, lanes: int, M: int):
         raise ValueError("corrupt payload: lane length table inconsistent")
     Mn = _round512(int(lengths.max()), M)
     buf = np.zeros((lanes, Mn), np.uint16)
-    off = 0
-    for i in range(lanes):
-        ln = int(lengths[i])
-        buf[i, :ln] = flat[off:off + ln]
-        off += ln
+    keep = np.arange(Mn)[None, :] < lengths[:, None]
+    buf[keep] = flat
     return pad_cols(jnp.asarray(buf), M)
 
 
