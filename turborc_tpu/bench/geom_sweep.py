@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import time
 
@@ -38,14 +37,7 @@ DEFAULT_POINTS = [
 
 def parse_geom(spec: str):
     from turborc_tpu.ops.pallas.geom import Geom
-    m = re.fullmatch(r"g(\d+)c(\d+)s(\d+)y(\d+)l(\d+)a(\d+)(?:r(\d+))?",
-                     spec)
-    if not m:
-        raise SystemExit(f"bad geometry spec {spec!r}")
-    g, c, s, y, l, a = map(int, m.groups()[:6])
-    r = int(m.group(7)) if m.group(7) else 4
-    return Geom(groups=g, chunk=c, share=s, sync=y, lsync=l, arows=a,
-                srows=r)
+    return Geom.parse(spec)
 
 
 def run_point(data: np.ndarray, geom, reps: int) -> dict:

@@ -15,10 +15,14 @@ import numpy as np
 
 def _codec_cfg(args, codec=None):
     from turborc_tpu import CodecConfig
+    geom = None
+    if getattr(args, "geom", None):
+        from turborc_tpu.ops.pallas.geom import Geom
+        geom = Geom.parse(args.geom)
     return CodecConfig(codec=codec or args.codec, lanes=args.lanes,
                        block_size=args.block_size,
                        step_quant=args.step_quant, prm0=args.prm0,
-                       prm1=args.prm1)
+                       prm1=args.prm1, geom=geom)
 
 
 def cmd_bench(args):
@@ -151,6 +155,8 @@ def main(argv=None):
     p.add_argument("--step-quant", type=int, default=256)
     p.add_argument("--prm0", type=int, default=5)
     p.add_argument("--prm1", type=int, default=8)
+    p.add_argument("--geom", help="flagship kernel geometry spec, e.g. "
+                   "g64c8s8y8l32a4r4 (default: env Geom)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("bench", help="round-trip + timing over codecs")

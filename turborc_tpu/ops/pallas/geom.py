@@ -75,6 +75,25 @@ class Geom:
         """Per-lane symbol count alignment (grid step AND cold sync)."""
         return max(self.chunk, self.lsync)
 
+    @classmethod
+    def parse(cls, spec: str) -> "Geom":
+        """Parse a compact geometry spec g<groups>c<chunk>s<share>y<sync>
+        l<lsync>a<arows>[r<srows>] (the sweep/CLI notation)."""
+        import re
+        m = re.fullmatch(
+            r"g(\d+)c(\d+)s(\d+)y(\d+)l(\d+)a(\d+)(?:r(\d+))?", spec)
+        if not m:
+            raise ValueError(f"bad geometry spec {spec!r}")
+        g, c, s, y, l, a = map(int, m.groups()[:6])
+        r = int(m.group(7)) if m.group(7) else 4
+        return cls(groups=g, chunk=c, share=s, sync=y, lsync=l, arows=a,
+                   srows=r)
+
+    @property
+    def spec(self) -> str:
+        return (f"g{self.groups}c{self.chunk}s{self.share}y{self.sync}"
+                f"l{self.lsync}a{self.arows}r{self.srows}")
+
     # ---- container header wire format (4 bytes; format v3)
     WIRE_LEN = 4
 
