@@ -289,12 +289,30 @@ def _stable_perm_by_prefix(prefix: np.ndarray) -> np.ndarray:
         - (np.arange(L, dtype=np.int64)[:, None] * K)
 
 
+def _native_becw():
+    """Native host coder (host/bec.cpp), or None.  Same wire format as
+    the numpy spec below (parity-tested); TRC_BEC_HOST=py forces numpy."""
+    import os
+    if os.environ.get("TRC_BEC_HOST") == "py":
+        return None
+    try:
+        from turborc_tpu.host import native
+        native._bec_bind()
+        return native
+    except Exception:
+        return None
+
+
 def encode_block_w(data: np.ndarray, lanes: int = 64,
                    step_quant: int = 1024, **_unused) -> bytes:
     n = data.shape[0]
     K = _pow2_K(n, lanes, step_quant)
     padded = np.zeros(lanes * K, np.uint8)
     padded[:n] = data
+    nat = _native_becw()
+    if nat is not None:
+        nbits, body = nat.becw_enc(padded.reshape(lanes, K))
+        return nbits.to_bytes(8, "little") + body
     block = padded.reshape(lanes, K).astype(np.int64)
     wr = _BitWriter()
     for b in range(8):
@@ -309,7 +327,11 @@ def encode_block_w(data: np.ndarray, lanes: int = 64,
 def decode_block_w(payload: bytes, n: int, lanes: int = 64,
                    step_quant: int = 1024, **_unused) -> np.ndarray:
     K = _pow2_K(n, lanes, step_quant)
-    rd = _reader(payload)
+    rd = _reader(payload)  # frame/length validation both paths
+    nat = _native_becw()
+    if nat is not None:
+        block = nat.becw_dec(payload[8:], lanes, K)
+        return block.reshape(-1)[:n]
     acc = np.zeros((lanes, K), np.int64)
     rows = np.arange(lanes, dtype=np.int64)[:, None]
     for b in range(8):

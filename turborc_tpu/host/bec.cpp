@@ -1,0 +1,293 @@
+// bec: M99-style hierarchical bit entropy coder - native host coder.
+//
+// Bit-exact implementation of the wire format specified by
+// turborc_tpu/codecs/bec.py (the numpy coder is the executable spec;
+// parity is enforced by tests/test_bec_misc.py).  Level-order forest
+// coding over an ACTIVE segment set with phase-in (truncated binary)
+// count codes, plus the wavelet-conditioned plane permutation
+// (plane b stably sorted by each position's b-bit prefix).
+//
+// Reference semantics: bec_.c/bec_b.c (recursive M99 with bectab range
+// codes); this module is the host-disposition redesign (SURVEY 2.6).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using u8 = uint8_t;
+using u64 = uint64_t;
+using i64 = int64_t;
+
+inline int blc(i64 m) {  // ceil(log2(m)) for m >= 1
+  i64 v = m - 1;
+  int b = 0;
+  while (v > 0) { ++b; v >>= 1; }
+  return b;
+}
+
+struct BitWriter {  // LSB-first within little-endian u64 words
+  std::vector<u64> words;
+  i64 nbits = 0;
+  void put(u64 v, int w) {
+    if (w <= 0) return;
+    i64 word = nbits >> 6;
+    int off = (int)(nbits & 63);
+    if ((i64)words.size() < word + 2) words.resize(word + 2, 0);
+    words[word] |= v << off;
+    if (off) words[word + 1] |= v >> (64 - off);
+    nbits += w;
+  }
+  // python _BitWriter.pack emits (nbits+63)//64 + 1 words (hi-spill slot)
+  i64 packed_bytes() const { return nbits ? ((nbits + 63) / 64 + 1) * 8 : 0; }
+  void pack_to(u8* out) const {
+    i64 nb = packed_bytes();
+    std::memset(out, 0, (size_t)nb);
+    std::memcpy(out, words.data(),
+                (size_t)std::min<i64>(nb, (i64)words.size() * 8));
+  }
+};
+
+struct BitReader {
+  const u8* buf;
+  i64 nbytes;   // payload bytes available
+  i64 pos = 0;  // bit position
+  bool bad = false;
+  u64 get(int w) {
+    if (w <= 0) return 0;
+    // python reader pads with >= 8 zero bytes and flags reads past the
+    // padded length as corrupt
+    if (pos + w > nbytes * 8 + 64) { bad = true; return 0; }
+    i64 byte = pos >> 3;
+    u8 tmp[16] = {0};
+    i64 take = nbytes - byte;
+    if (take > 16) take = 16;
+    if (take > 0) std::memcpy(tmp, buf + byte, (size_t)take);
+    u64 lo, hi;
+    std::memcpy(&lo, tmp, 8);
+    std::memcpy(&hi, tmp + 8, 8);
+    int off = (int)(pos & 7);
+    u64 v = lo >> off;
+    if (off) v |= hi << (64 - off);
+    pos += w;
+    return w >= 64 ? v : (v & ((u64(1) << w) - 1));
+  }
+};
+
+// ---- forest encode: R trees of K leaves, level-order active set -----------
+
+void encode_forest(const u8* bits, i64 R, i64 K, BitWriter& wr,
+                   std::vector<int32_t>& cur, std::vector<int32_t>& nxt,
+                   std::vector<i64>& active, std::vector<i64>& act2) {
+  int levels = 0;
+  while ((i64(1) << levels) < K) ++levels;
+  int rootw = levels + 1;  // bit_length(K) for power-of-two K
+  // pyramid bottom-up into nxt (leaf level handled from bits directly);
+  // we need pyramid[l] and pyramid[l+1] per level: recompute top-down is
+  // O(n log n); build all levels once instead (sum sizes = 2*R*K).
+  // Layout: lvl[l] has R<<l entries; store each level contiguously.
+  static thread_local std::vector<std::vector<int32_t>> pyr;
+  pyr.resize((size_t)levels + 1);
+  pyr[(size_t)levels].resize((size_t)(R * K));
+  for (i64 i = 0; i < R * K; ++i) pyr[(size_t)levels][(size_t)i] = bits[i];
+  for (int l = levels - 1; l >= 0; --l) {
+    i64 n = R << l;
+    pyr[(size_t)l].resize((size_t)n);
+    const int32_t* ch = pyr[(size_t)l + 1].data();
+    int32_t* pa = pyr[(size_t)l].data();
+    for (i64 f = 0; f < n; ++f) pa[f] = ch[2 * f] + ch[2 * f + 1];
+  }
+  active.clear();
+  for (i64 r = 0; r < R; ++r) {
+    int32_t c = pyr[0][(size_t)r];
+    wr.put((u64)c, rootw);
+    if (c > 0 && c < K) active.push_back(r);
+  }
+  for (int l = 0; l < levels; ++l) {
+    if (active.empty()) break;
+    i64 h = K >> (l + 1);
+    const int32_t* pl = pyr[(size_t)l].data();
+    const int32_t* ch = pyr[(size_t)l + 1].data();
+    // pass 1: prefix fields; remember phase-in state for pass 2
+    for (i64 f : active) {
+      i64 t = pl[f], left = ch[2 * f];
+      i64 lo = t - h > 0 ? t - h : 0;
+      i64 m = (t < h ? t : h) - lo + 1;
+      i64 v = left - lo;
+      int b = blc(m);
+      i64 T = (i64(1) << b) - m;
+      if (v < T) wr.put((u64)v, b - 1 > 0 ? b - 1 : 0);
+      else wr.put((u64)((v + T) >> 1), b - 1 > 0 ? b - 1 : 0);
+    }
+    // pass 2: extra bits
+    for (i64 f : active) {
+      i64 t = pl[f], left = ch[2 * f];
+      i64 lo = t - h > 0 ? t - h : 0;
+      i64 m = (t < h ? t : h) - lo + 1;
+      i64 v = left - lo;
+      int b = blc(m);
+      i64 T = (i64(1) << b) - m;
+      if (!(v < T) && b >= 1) wr.put((u64)((v + T) & 1), 1);
+    }
+    if (l + 1 < levels) {
+      act2.clear();
+      for (i64 f : active)
+        for (i64 kid = 2 * f; kid <= 2 * f + 1; ++kid) {
+          int32_t kc = ch[kid];
+          if (kc > 0 && kc < h) act2.push_back(kid);
+        }
+      active.swap(act2);
+    }
+  }
+  (void)cur; (void)nxt;
+}
+
+// ---- forest decode --------------------------------------------------------
+
+bool decode_forest(BitReader& rd, i64 R, i64 K, u8* out,
+                   std::vector<int32_t>& cur, std::vector<int32_t>& nxt,
+                   std::vector<i64>& active, std::vector<i64>& act2,
+                   std::vector<int64_t>& pres) {
+  int levels = 0;
+  while ((i64(1) << levels) < K) ++levels;
+  int rootw = levels + 1;
+  cur.resize((size_t)(R * K));
+  nxt.resize((size_t)(R * K));
+  active.clear();
+  for (i64 r = 0; r < R; ++r) {
+    i64 c = (i64)rd.get(rootw);
+    if (c < 0 || c > K || rd.bad) return false;
+    cur[(size_t)r] = (int32_t)c;
+    if (c > 0 && c < K) active.push_back(r);
+  }
+  i64 ncur = R;
+  for (int l = 0; l < levels; ++l) {
+    i64 h = K >> (l + 1);
+    // saturated split for every segment
+    for (i64 f = 0; f < ncur; ++f) {
+      int32_t t = cur[(size_t)f];
+      int32_t left = t < h ? t : (int32_t)h;
+      nxt[(size_t)(2 * f)] = left;
+      nxt[(size_t)(2 * f + 1)] = t - left;
+    }
+    if (!active.empty()) {
+      pres.resize(active.size());
+      // pass 1: all prefix fields of the level
+      for (size_t i = 0; i < active.size(); ++i) {
+        i64 f = active[i];
+        i64 t = cur[(size_t)f];
+        i64 lo = t - h > 0 ? t - h : 0;
+        i64 m = (t < h ? t : h) - lo + 1;
+        int b = blc(m);
+        pres[i] = (i64)rd.get(b - 1 > 0 ? b - 1 : 0);
+      }
+      // pass 2: extras, then resolve
+      for (size_t i = 0; i < active.size(); ++i) {
+        i64 f = active[i];
+        i64 t = cur[(size_t)f];
+        i64 lo = t - h > 0 ? t - h : 0;
+        i64 m = (t < h ? t : h) - lo + 1;
+        int b = blc(m);
+        i64 T = (i64(1) << b) - m;
+        i64 v = pres[i];
+        if (v >= T && b >= 1) v = ((v << 1) | (i64)rd.get(1)) - T;
+        if (v < 0 || v >= m || rd.bad) return false;
+        i64 left = v + lo;
+        nxt[(size_t)(2 * f)] = (int32_t)left;
+        nxt[(size_t)(2 * f + 1)] = (int32_t)(t - left);
+      }
+    }
+    cur.swap(nxt);
+    ncur *= 2;
+    if (l + 1 < levels) {
+      act2.clear();
+      for (i64 f : active)
+        for (i64 kid = 2 * f; kid <= 2 * f + 1; ++kid) {
+          int32_t kc = cur[(size_t)kid];
+          if (kc > 0 && kc < h) act2.push_back(kid);
+        }
+      active.swap(act2);
+    }
+  }
+  for (i64 i = 0; i < R * K; ++i) out[i] = (u8)cur[(size_t)i];
+  return !rd.bad;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Wavelet-conditioned bec encode of a padded [L, K] byte block.
+// Returns total payload BITS (python frames as 8-byte LE total + body of
+// ((bits+63)/64 + 1)*8 bytes), or -1 if out_cap is too small.
+int64_t trc_becw_enc(const uint8_t* block, int64_t L, int64_t K,
+                     uint8_t* out, int64_t out_cap) {
+  i64 n = L * K;
+  BitWriter wr;
+  std::vector<int32_t> cur, nxt;
+  std::vector<i64> active, act2;
+  std::vector<u8> bits((size_t)n), sorted_bits((size_t)n);
+  std::vector<int32_t> off(257);
+  for (int b = 0; b < 8; ++b) {
+    const int shift = 7 - b;
+    if (b == 0) {
+      for (i64 i = 0; i < n; ++i) bits[(size_t)i] = (block[i] >> 7) & 1;
+      encode_forest(bits.data(), L, K, wr, cur, nxt, active, act2);
+    } else {
+      const int pshift = 8 - b;  // prefix = byte >> (8-b)
+      i64 nb = i64(1) << b;      // bucket count
+      for (i64 r = 0; r < L; ++r) {
+        const u8* row = block + r * K;
+        u8* dst = sorted_bits.data() + r * K;
+        std::fill(off.begin(), off.begin() + (size_t)nb + 1, 0);
+        for (i64 p = 0; p < K; ++p) off[(size_t)(row[p] >> pshift) + 1]++;
+        for (i64 q = 0; q < nb; ++q) off[(size_t)q + 1] += off[(size_t)q];
+        for (i64 p = 0; p < K; ++p)
+          dst[off[(size_t)(row[p] >> pshift)]++] = (row[p] >> shift) & 1;
+      }
+      encode_forest(sorted_bits.data(), L, K, wr, cur, nxt, active, act2);
+    }
+  }
+  i64 nb = wr.packed_bytes();
+  if (nb > out_cap) return -1;
+  wr.pack_to(out);
+  return wr.nbits;
+}
+
+// Inverse; out_block is the padded [L, K] byte block.  Returns 0, or -1
+// on corrupt payload.
+int trc_becw_dec(const uint8_t* payload, int64_t payload_bytes,
+                 int64_t L, int64_t K, uint8_t* out_block) {
+  i64 n = L * K;
+  BitReader rd{payload, payload_bytes};
+  std::vector<int32_t> cur, nxt;
+  std::vector<i64> active, act2;
+  std::vector<int64_t> pres;
+  std::vector<u8> bits((size_t)n);
+  std::vector<int32_t> off(257);
+  std::memset(out_block, 0, (size_t)n);
+  for (int b = 0; b < 8; ++b) {
+    if (!decode_forest(rd, L, K, bits.data(), cur, nxt, active, act2, pres))
+      return -1;
+    const int shift = 7 - b;
+    if (b == 0) {
+      for (i64 i = 0; i < n; ++i) out_block[i] |= bits[(size_t)i] << 7;
+    } else {
+      const int pshift = 8 - b;
+      i64 nbuck = i64(1) << b;
+      for (i64 r = 0; r < L; ++r) {
+        u8* row = out_block + r * K;
+        const u8* src = bits.data() + r * K;
+        std::fill(off.begin(), off.begin() + (size_t)nbuck + 1, 0);
+        for (i64 p = 0; p < K; ++p) off[(size_t)(row[p] >> pshift) + 1]++;
+        for (i64 q = 0; q < nbuck; ++q) off[(size_t)q + 1] += off[(size_t)q];
+        for (i64 p = 0; p < K; ++p)
+          row[p] |= src[off[(size_t)(row[p] >> pshift)]++] << shift;
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -12,7 +12,7 @@ import subprocess
 import sys
 
 _HOST_DIR = pathlib.Path(__file__).resolve().parent
-SOURCES = ["sais.cpp", "qlfc.cpp", "lzp.cpp", "utf8.cpp"]
+SOURCES = ["sais.cpp", "qlfc.cpp", "lzp.cpp", "utf8.cpp", "bec.cpp"]
 LIB = _HOST_DIR / "libtrchost.so"
 STAMP = _HOST_DIR / ".libtrchost.hash"
 

@@ -226,3 +226,44 @@ def unlzp(data: np.ndarray, orig_len: int, minlen: int = 32) -> np.ndarray:
     if r != orig_len:
         raise ValueError("lzp decode failed: corrupt stream")
     return out
+
+
+def _bec_bind():
+    lib = load()
+    if not hasattr(lib.trc_becw_enc, "_bound"):
+        lib.trc_becw_enc.restype = ctypes.c_int64
+        lib.trc_becw_enc.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_void_p,
+                                     ctypes.c_int64]
+        lib.trc_becw_dec.restype = ctypes.c_int
+        lib.trc_becw_dec.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_void_p]
+        lib.trc_becw_enc._bound = True
+    return lib
+
+
+def becw_enc(block: np.ndarray) -> tuple[int, bytes]:
+    """Wavelet-conditioned bec encode of a padded [L, K] block; returns
+    (total_bits, packed body) matching codecs/bec.py's _BitWriter."""
+    block = np.ascontiguousarray(block, np.uint8)
+    L, K = block.shape
+    out = np.empty(4 * L * K + 65536, np.uint8)
+    nbits = _bec_bind().trc_becw_enc(block.ctypes.data, L, K,
+                                     out.ctypes.data, out.shape[0])
+    if nbits < 0:
+        raise ValueError("bec encode overflow (incompressible beyond cap)")
+    nbytes = ((int(nbits) + 63) // 64 + 1) * 8 if nbits else 0
+    return int(nbits), out[:nbytes].tobytes()
+
+
+def becw_dec(payload: bytes, L: int, K: int) -> np.ndarray:
+    """Inverse of becw_enc over the framed body; returns [L, K] uint8."""
+    buf = np.frombuffer(payload, np.uint8)
+    out = np.empty((L, K), np.uint8)
+    r = _bec_bind().trc_becw_dec(
+        buf.ctypes.data if buf.size else 0, buf.shape[0], L, K,
+        out.ctypes.data)
+    if r != 0:
+        raise ValueError("corrupt payload: bec count out of range")
+    return out
