@@ -28,18 +28,17 @@ run sweep2 10800 -- python -m turborc_tpu.bench.geom_sweep 64 \
 # ---- stage 2: product-path (API/CLI/container) runs at the candidate
 # geometries on 64MB: true ratio (rank remap + state seeding + tables)
 # AND end-to-end speed in one measurement.
-for spec in g64c8s8y8l32a4r4 g64c8s8y8l32a8r4 g64c8s8y4l32a16r4 \
-            g64c8s8y8l32a16r4; do
+for spec in g64c8s8y8l32a4r4 g64c8s8y8l32a8r4; do
   run "prod_$spec" 5400 -- python -m turborc_tpu.cli --lanes 8192 \
     --block-size 67108864 --geom "$spec" bench \
-    turborc_tpu/bench/_data/text_67108864.bin -i rans-cdf-o0-p -r 2 \
+    turborc_tpu/bench/_data/textbwt_67108864.bin -i rans-cdf-o0-p -r 2 \
     --json "$OUT/prod_$spec.json"
 done
-# ratio-point candidates (target: ratio <= 0.2732 at >= 300 MB/s)
-for spec in g32c8s8y2l32a16r16 g32c8s8y4l32a16r4; do
+# ratio-point candidate (target: ratio <= 0.2732 at >= 300 MB/s)
+for spec in g32c8s8y2l32a16r16; do
   run "prodr_$spec" 5400 -- python -m turborc_tpu.cli --lanes 4096 \
     --block-size 67108864 --geom "$spec" bench \
-    turborc_tpu/bench/_data/text_67108864.bin -i rans-cdf-o0-p -r 2 \
+    turborc_tpu/bench/_data/textbwt_67108864.bin -i rans-cdf-o0-p -r 2 \
     --json "$OUT/prodr_$spec.json"
 done
 
@@ -47,13 +46,12 @@ done
 run o1_real16 5400 -- python -m turborc_tpu.cli --lanes 8192 \
   --block-size 16777216 bench \
   turborc_tpu/bench/_data/realsrcbwt_16777216.bin \
-  -i rans-cdf-r1-p,rans-cdf-r1 -r 2 --json "$OUT/o1_real16.json"
+  -i rans-cdf-r1-p -r 2 --json "$OUT/o1_real16.json"
 
 # ---- stage 4: bit-tree kernel (id 8) + flagship table on textbwt 16MB
 run table16 7200 -- python -m turborc_tpu.cli --lanes 8192 \
   --block-size 16777216 bench turborc_tpu/bench/_data/textbwt_16777216.bin \
-  -i rans-cdf-o0-p,rc-p,rans-cdf-s8,rans-cdf-o0,rans-auto,rans-static,rc4,rc4c \
-  -r 2 --json "$OUT/table16.json"
+  -i rans-cdf-o0-p,rc-p,rans-auto -r 2 --json "$OUT/table16.json"
 
 # ---- stage 5: rcbwt end-to-end on 64MB text, levels 8/10 (paired with
 # the same-machine reference -e20 -l8/-l9 rows); lev 9 (rcmrr CM stage)
