@@ -100,6 +100,26 @@ def _bytes_out(out, K, lanes=LANES):
     return out.reshape(K, lanes).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("K", "S", "share"))
+def _post_decode(out, perm, K, S, share):
+    """Kernel output [K, G, 128] -> file-order remapped bytes [S*share*K]
+    on device: un-stride the share spans and apply the rank permutation,
+    so only the final uint8 payload crosses the host<->device link."""
+    x = out.reshape(K, S, share).transpose(1, 0, 2).reshape(-1)
+    return jnp.take(perm, x, indices_are_sorted=False).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "S", "share", "groups"))
+def _pre_encode(data_dev, inv, K, S, share, groups):
+    """Device-side encode prep: rank-remap the padded span bytes and
+    shape them into kernel lane order [LANES, K] (uint8; the kernel
+    casts).  data_dev is the padded span [S*share*K] uint8."""
+    mapped = jnp.take(inv, data_dev.astype(jnp.int32))
+    block = (mapped.reshape(S, K, share).transpose(0, 2, 1)
+             .reshape(S * share, K))
+    return block.astype(jnp.uint8)
+
+
 def _round_rows(rows_needed: int, cap: int) -> int:
     return min(cap, -(-rows_needed // 256) * 256)
 
@@ -148,6 +168,22 @@ def _rank_perm(data: np.ndarray) -> np.ndarray:
     return np.argsort(-counts, kind="stable").astype(np.uint8)
 
 
+def _group_byte_counts(span: np.ndarray, g: Geom, K: int,
+                       pad_byte: int) -> np.ndarray:
+    """[G, 256] original-byte counts over each group's padded span slice
+    (one host bincount pass; the remap is applied to the COLUMNS later,
+    so the full remapped array never materializes on host).  Padding is
+    the most-frequent byte (pad_byte = perm[0]) so it codes at rank 0."""
+    per = g.lanes * K // g.groups
+    counts = np.zeros((g.groups, 256), np.int64)
+    for gi in range(g.groups):
+        s = span[gi * per:(gi + 1) * per]
+        if s.size:
+            counts[gi] = np.bincount(s, minlength=256)
+        counts[gi, pad_byte] += per - s.size
+    return counts
+
+
 def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
                  geom: Geom | None = None, **_unused) -> bytes:
     g = geom or DEFAULT
@@ -155,19 +191,30 @@ def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
     perm = _rank_perm(data) if n else np.arange(256, dtype=np.uint8)
     inv = np.zeros(256, np.uint8)
     inv[perm] = np.arange(256, dtype=np.uint8)
-    init_states, span_data, _ = _split_seed(inv[data], g)
-    K = _K_for(span_data.shape[0], g)
-    block, padded = _shape_lanes(span_data, K, g)
-    codes, (hi_q, lo_q) = _bio.quantize_tables(*_group_tables(padded, g))
+    sb = _seed_bytes(g)
+    s_len = min(n, sb)
+    init_states, _, _ = _split_seed(inv[data[:s_len]], g)
+    span = data[s_len:]
+    K = _K_for(span.shape[0], g)
+    # warm tables: original-byte histograms, remap applied to the columns
+    jr = _group_byte_counts(span, g, K, int(perm[0]))[:, perm]
+    hi_q_raw = _bio.quantize_freqs(jr.reshape(g.groups, 16, 16).sum(-1))
+    lo_q_raw = _bio.quantize_freqs(jr.reshape(g.groups, 16, 16))
+    codes, (hi_q, lo_q) = _bio.quantize_tables(hi_q_raw, lo_q_raw)
     hi_tbl, lo_tbl = _cum_args(hi_q, lo_q)
+    # remap + lane striding on device: only original bytes cross the link
+    padded = np.full(g.lanes * K, perm[0], np.uint8)
+    padded[:span.shape[0]] = span
+    S = g.lanes // g.share
+    block = _pre_encode(jnp.asarray(padded), jnp.asarray(inv), K, S,
+                        g.share, g.groups)
     enc = K_.encode_tile_pallas if use_pallas_encoder else K_.encode_tile
-    gstreams, glens = enc(jnp.asarray(block), K, hi_tbl, lo_tbl,
-                          init_states, geom=g)
+    gstreams, glens = enc(block, K, hi_tbl, lo_tbl, init_states, geom=g)
     glens = np.asarray(glens).astype(np.int64)
     rows = _round_rows(-(-int(glens.max()) // 128), gstreams.shape[1])
     gs = np.asarray(_slice_rows(gstreams, rows)).reshape(g.groups, -1)
-    flat = np.concatenate(
-        [gs[gi, :glens[gi]] for gi in range(g.groups)]).astype(np.uint16)
+    keep = (np.arange(gs.shape[1])[None, :] < glens[:, None])
+    flat = gs[keep].astype(np.uint16)
     return (perm.tobytes() + _bio.pack_codes(codes)
             + glens.astype("<u4").tobytes() + flat.astype("<u2").tobytes())
 
@@ -203,12 +250,10 @@ def decode_block(payload: bytes, n: int, geom: Geom | None = None,
     hi_tbl, lo_tbl = _cum_args(hi_q, lo_q)
     dev = _pad_rows(jnp.asarray(gstreams.reshape(g.groups, Rn, 128)), R)
     out, fstates = K_.decode_tile(dev, K, hi_tbl, lo_tbl, geom=g)
+    # un-stride + unmap ON DEVICE; only final uint8 bytes cross the link
+    S = g.lanes // g.share
+    flat_bytes = np.asarray(_post_decode(out, jnp.asarray(perm), K, S,
+                                         g.share))
     # seeds ride in the decoder's final states (15 bits/lane)
     seed_bytes = _join_seed(np.asarray(fstates), s_len)
-    # out [K, GROUPS, 128] -> [LANES, K] -> un-stride spans -> unmap
-    lanes_k = np.asarray(_bytes_out(out, K, g.lanes)).T
-    S = g.lanes // g.share
-    flat_bytes = lanes_k.reshape(S, g.share, K).transpose(0, 2, 1).reshape(-1)
-    full = np.concatenate([seed_bytes,
-                           flat_bytes.astype(np.uint8)[:n - s_len]])
-    return perm[full]
+    return np.concatenate([perm[seed_bytes], flat_bytes[:n - s_len]])
