@@ -45,3 +45,23 @@ def test_rcx_roundtrip(corpora):
                       step_quant=64, ctx_bits=8)
     blob = compress(data, cfg)
     assert decompress(blob) == data.tobytes()
+
+
+def test_segmented_stage_roundtrip(corpora, monkeypatch):
+    """Entropy-stage segmentation (flag bit 8): stage inputs above SEG
+    split into independently coded chunks (64MB-in-one-piece exceeds
+    HBM; reference stages are streaming scalar loops so never split)."""
+    from turborc_tpu.codecs import bwt
+
+    monkeypatch.setattr(bwt, "SEG", 4096)
+    data = corpora["text"][:12000]
+    pay = bwt.encode_block(data, level=7, lanes=16, step_quant=64)
+    out = bwt.decode_block(pay, data.shape[0], lanes=16, step_quant=64)
+    assert np.array_equal(out, data)
+    # corrupt a chunk length field -> clean ValueError, not garbage
+    bad = bytearray(pay)
+    bad[14] ^= 0xFF  # inside the segmented framing
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bwt.decode_block(bytes(bad), data.shape[0], lanes=16,
+                         step_quant=64)

@@ -14,6 +14,7 @@ Payload: u64 primary index + u8 stage id + stage payload.
 """
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -99,6 +100,57 @@ _BY_STAGE_ID = {2: _STAGES[2], 3: _STAGES[3], 5: _STAGES[5],
                 10: _STAGES[10]}
 
 
+# Entropy-stage segmentation: stage inputs above SEG bytes are coded as
+# independent chunks (the 64MB qlfc stage exceeds HBM in one piece; the
+# reference's rcbwt codes whole blocks only because its stages are
+# streaming scalar loops).  Flag bit 8 marks a segmented stage payload:
+# u32 nchunks, then per chunk u32 orig_len + u32 paylen + u8 stored.
+SEG = int(os.environ.get("TRC_BWT_SEG", str(16 << 20)))
+
+
+def _stage_encode(stage_id: int, body: np.ndarray, **kw):
+    """-> (payload, segmented)."""
+    _, enc, _ = _BY_STAGE_ID[stage_id]
+    if body.shape[0] <= SEG:
+        return enc(body, **kw), False
+    parts = [struct.pack("<I", -(-body.shape[0] // SEG))]
+    for off in range(0, body.shape[0], SEG):
+        chunk = body[off:off + SEG]
+        p = enc(chunk, **kw)
+        stored = len(p) >= chunk.shape[0]
+        if stored:
+            p = chunk.tobytes()
+        parts.append(struct.pack("<IIB", chunk.shape[0], len(p), stored))
+        parts.append(p)
+    return b"".join(parts), True
+
+
+def _stage_decode(stage_id: int, body: bytes, nl: int, segmented: bool,
+                  **kw) -> np.ndarray:
+    _, _, dec = _BY_STAGE_ID[stage_id]
+    if not segmented:
+        return dec(body, nl, **kw)
+    (nchunks,) = struct.unpack_from("<I", body)
+    off, out, left = 4, [], nl
+    for _ in range(nchunks):
+        if off + 9 > len(body):
+            raise ValueError("corrupt payload: truncated bwt stage chunk")
+        clen, plen, stored = struct.unpack_from("<IIB", body, off)
+        off += 9
+        if clen > left or off + plen > len(body):
+            raise ValueError("corrupt payload: bwt stage chunk bounds")
+        piece = body[off:off + plen]
+        off += plen
+        if stored:
+            out.append(np.frombuffer(piece, np.uint8)[:clen])
+        else:
+            out.append(dec(piece, clen, **kw))
+        left -= clen
+    if left:
+        raise ValueError("corrupt payload: bwt stage chunks short of block")
+    return np.concatenate(out)
+
+
 def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
                  prm0: int = 4, prm1: int = 7, level: int = 8,
                  lzp_min: int = 32, use_utf8: bool = True,
@@ -116,13 +168,14 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
             nsym, table, ids = r16
             bwt_ids, primary = native.bwt16(ids)
             stage_id = _STAGE_IDS.get(level, 7)
-            _, enc, _ = _BY_STAGE_ID[stage_id]
             body = bwt_ids.astype("<u2").view(np.uint8)
-            payload = enc(body, lanes=lanes, step_quant=step_quant,
-                          prm0=prm0, prm1=prm1)
+            payload, seg = _stage_encode(stage_id, body, lanes=lanes,
+                                         step_quant=step_quant,
+                                         prm0=prm0, prm1=prm1)
             if len(payload) >= body.shape[0]:
-                stage_id, payload = 0, body.tobytes()
-            head = struct.pack("<QBB", primary, stage_id, 4)
+                stage_id, payload, seg = 0, body.tobytes(), False
+            head = struct.pack("<QBB", primary, stage_id,
+                               4 | (8 if seg else 0))
             head += struct.pack("<QI", ids.shape[0], table.shape[0])
             return head + table.tobytes() + payload
     # UTF-8 remap, kept only when it shrinks the stream (rcbwt.c:43)
@@ -139,12 +192,12 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
         pre = lz
     bwt_data, primary = native.bwt(pre)
     stage_id = _STAGE_IDS.get(level, 7)
-    _, enc, _ = _BY_STAGE_ID[stage_id]
-    payload = enc(bwt_data, lanes=lanes, step_quant=step_quant,
-                  prm0=prm0, prm1=prm1)
+    payload, seg = _stage_encode(stage_id, bwt_data, lanes=lanes,
+                                 step_quant=step_quant,
+                                 prm0=prm0, prm1=prm1)
     if len(payload) >= pre.shape[0]:
-        stage_id, payload = 0, bwt_data.tobytes()
-    head = struct.pack("<QBB", primary, stage_id, flags)
+        stage_id, payload, seg = 0, bwt_data.tobytes(), False
+    head = struct.pack("<QBB", primary, stage_id, flags | (8 if seg else 0))
     if flags & 2:
         head += struct.pack("<Q", utf8_len)
     if flags & 1:
@@ -169,9 +222,9 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
         if stage_id == 0:
             raw = np.frombuffer(body, np.uint8)[:nb]
         else:
-            _, _, dec = _BY_STAGE_ID[stage_id]
-            raw = dec(body, nb, lanes=lanes, step_quant=step_quant,
-                      prm0=prm0, prm1=prm1)
+            raw = _stage_decode(stage_id, body, nb, bool(flags & 8),
+                                lanes=lanes, step_quant=step_quant,
+                                prm0=prm0, prm1=prm1)
         ids = native.unbwt16(raw.view("<u2"), primary)
         return native.utf8_unmap16(table, ids, n)
     utf8_len = n
@@ -186,9 +239,9 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
     if stage_id == 0:
         bwt_data = np.frombuffer(body, np.uint8)[:nl]
     else:
-        _, _, dec = _BY_STAGE_ID[stage_id]
-        bwt_data = dec(body, nl, lanes=lanes, step_quant=step_quant,
-                       prm0=prm0, prm1=prm1)
+        bwt_data = _stage_decode(stage_id, body, nl, bool(flags & 8),
+                                 lanes=lanes, step_quant=step_quant,
+                                 prm0=prm0, prm1=prm1)
     pre = native.unbwt(bwt_data, primary)
     if flags & 1:
         pre = native.unlzp(pre, utf8_len, lzp_min)
