@@ -47,20 +47,34 @@ def test_rcx_roundtrip(corpora):
     assert decompress(blob) == data.tobytes()
 
 
-def test_segmented_stage_roundtrip(corpora, monkeypatch):
+def test_segmented_stage_roundtrip(rng, monkeypatch):
     """Entropy-stage segmentation (flag bit 8): stage inputs above SEG
     split into independently coded chunks (64MB-in-one-piece exceeds
-    HBM; reference stages are streaming scalar loops so never split)."""
+    HBM; reference stages are streaming scalar loops so never split).
+
+    Uses data LZP cannot match (iid nibbles) but the stage still
+    compresses, so the segmented path is actually taken (ADVICE r03:
+    repetitive text LZP-collapsed below SEG and the test covered only
+    the store fallback)."""
+    import struct
+
     from turborc_tpu.codecs import bwt
 
     monkeypatch.setattr(bwt, "SEG", 4096)
-    data = corpora["text"][:12000]
-    pay = bwt.encode_block(data, level=7, lanes=16, step_quant=64)
+    data = rng.integers(0, 16, 12288).astype(np.uint8)
+    pay = bwt.encode_block(data, level=7, lanes=16, step_quant=64,
+                           use_utf8=False)
+    primary, stage_id, flags = struct.unpack_from("<QBB", pay)
+    assert stage_id != 0 and flags & 8, "segmented stage path not taken"
     out = bwt.decode_block(pay, data.shape[0], lanes=16, step_quant=64)
     assert np.array_equal(out, data)
-    # corrupt a chunk length field -> clean ValueError, not garbage
+    # corrupt the first chunk's length field -> clean ValueError, not
+    # garbage.  Offset computed from the parsed flags: header is
+    # <QBB> (10 bytes) + 8 per set utf8/lzp length field, then the
+    # segmented framing's u32 nchunks, then the chunk's u32 orig_len.
+    off = 10 + 8 * bool(flags & 2) + 8 * bool(flags & 1)
     bad = bytearray(pay)
-    bad[14] ^= 0xFF  # inside the segmented framing
+    bad[off + 4] ^= 0xFF  # low byte of chunk 0's orig_len
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bwt.decode_block(bytes(bad), data.shape[0], lanes=16,

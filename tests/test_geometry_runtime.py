@@ -35,14 +35,16 @@ def test_geom_wire_roundtrip():
 
 
 def test_geom_validation():
-    with pytest.raises(AssertionError):
-        Geom(share=3)
-    with pytest.raises(AssertionError):
-        Geom(chunk=8, sync=3)
-    with pytest.raises(AssertionError):
-        Geom(lsync=12)
-    with pytest.raises(AssertionError):
-        Geom(arows=17)
+    # unrepresentable-in-header geometries fail loudly at construction
+    # (ADVICE r03: g48/c12/l24 used to silently pack as g32/c8/l16)
+    for bad in (dict(share=3), dict(chunk=8, sync=3), dict(lsync=12),
+                dict(arows=17), dict(groups=48), dict(chunk=12),
+                dict(lsync=24, chunk=8, sync=4), dict(srows=32),
+                dict(sync=2, chunk=2, lsync=24)):
+        with pytest.raises(ValueError):
+            Geom(**bad)
+    with pytest.raises(ValueError):
+        Geom.parse("g48c8s8y8l32a4")
 
 
 def test_s8_cross_geometry_roundtrip(textbwt):

@@ -130,6 +130,8 @@ def _stage_decode(stage_id: int, body: bytes, nl: int, segmented: bool,
     _, _, dec = _BY_STAGE_ID[stage_id]
     if not segmented:
         return dec(body, nl, **kw)
+    if len(body) < 4:
+        raise ValueError("corrupt payload: truncated bwt stage header")
     (nchunks,) = struct.unpack_from("<I", body)
     off, out, left = 4, [], nl
     for _ in range(nchunks):

@@ -32,14 +32,28 @@ class Geom:
     srows: int = 4     # lo rows re-joined at the fast cadence
 
     def __post_init__(self):
-        assert self.groups >= 1 and self.chunk >= 1
-        assert self.share >= 1 and self.share & (self.share - 1) == 0 \
-            and self.share <= 128, "share must be a power of 2 <= 128"
-        assert self.chunk % self.sync == 0, \
-            "sync cadence must divide the grid-step chunk"
-        assert self.lsync % self.chunk == 0 and self.lsync % self.sync == 0, \
-            "cold-row cadence must be a multiple of the grid-step chunk"
-        assert 0 <= self.arows <= 16
+        # The 4-byte container header encodes groups/chunk/share/sync/
+        # lsync as log2 exponents and srows in 5 bits; reject anything
+        # unrepresentable at parse time rather than writing a header
+        # that silently unpacks to a different geometry (ADVICE r03).
+        for name, v, cap in (("groups", self.groups, 1 << 15),
+                             ("chunk", self.chunk, 1 << 15),
+                             ("share", self.share, 128),
+                             ("sync", self.sync, 128),
+                             ("lsync", self.lsync, 128)):
+            if v < 1 or v & (v - 1) or v > cap:
+                raise ValueError(
+                    f"geometry {name}={v} must be a power of two <= {cap}"
+                    " (container header stores log2 exponents)")
+        if not 0 <= self.srows < 32:
+            raise ValueError("geometry srows must be in [0, 32)")
+        if self.chunk % self.sync != 0:
+            raise ValueError("sync cadence must divide the grid-step chunk")
+        if self.lsync % self.chunk or self.lsync % self.sync:
+            raise ValueError(
+                "cold-row cadence must be a multiple of the grid-step chunk")
+        if not 0 <= self.arows <= 16:
+            raise ValueError("geometry arows must be in [0, 16]")
 
     # ---- derived (not independent format knobs)
     @property
