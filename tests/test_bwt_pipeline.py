@@ -79,3 +79,41 @@ def test_segmented_stage_roundtrip(rng, monkeypatch):
     with _pytest.raises(ValueError):
         bwt.decode_block(bytes(bad), data.shape[0], lanes=16,
                          step_quant=64)
+
+
+def test_qlfc2_roundtrip():
+    """Context-sorted QLFC (stage 11): backward-MTF ranks + context
+    partitioning must round-trip through the XLA-twin sub-stage."""
+    import pathlib
+
+    from turborc_tpu.codecs import qlfc
+
+    f = (pathlib.Path(__file__).parent.parent / "turborc_tpu" / "bench"
+         / "_data" / "textbwt_32768.bin")
+    data = np.tile(np.fromfile(f, np.uint8), 3)
+    pay = qlfc.encode_block2(data, sub=1)
+    out = qlfc.decode_block2(pay, data.shape[0])
+    assert np.array_equal(out, data)
+    # corrupting the context counts raises cleanly (walk overrun or sum)
+    bad = bytearray(pay)
+    bad[280] ^= 0x55
+    with pytest.raises(ValueError):
+        qlfc.decode_block2(bytes(bad), data.shape[0])
+
+
+def test_qlfc2_level8_pipeline(rng, monkeypatch):
+    """lev 8 picks the context-sorted stage at scale (stage id 11) and
+    the full pipeline round-trips through compress/decompress."""
+    import struct
+
+    from turborc_tpu.codecs import bwt, qlfc
+
+    monkeypatch.setattr(bwt, "QLFC2_MIN", 1 << 15)
+    monkeypatch.setattr(qlfc, "_substage", lambda sub: 1)
+    data = rng.integers(0, 16, 131072).astype(np.uint8)  # defeats LZP
+    cfg = CodecConfig(codec="rcbwt", lanes=16, block_size=1 << 18,
+                      step_quant=64, level=8)
+    blob = compress(data, cfg)
+    hdr_off = 32  # container header; stage id byte sits at +8 in payload
+    assert blob[hdr_off + 9 + 8] == 11  # bhdr(9B) + primary u64 -> stage
+    assert decompress(blob) == data.tobytes()

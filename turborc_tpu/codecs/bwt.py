@@ -57,6 +57,16 @@ def _qlfc_dec(*a, **kw):
     return _qlfc_api()[1](*a, **kw)
 
 
+def _qlfc2_enc(data, **kw):
+    from turborc_tpu.codecs import qlfc
+    return qlfc.encode_block2(data, geom=kw.get("geom"))
+
+
+def _qlfc2_dec(payload, n, **_kw):
+    from turborc_tpu.codecs import qlfc
+    return qlfc.decode_block2(payload, n)
+
+
 def _auto_enc(data, **_kw):
     # kernel-geometry stage ignores the bitwise stages' lane params
     from turborc_tpu.codecs import rans_auto
@@ -92,12 +102,26 @@ _STAGES = {
     8: ("qlfc", _qlfc_enc, _qlfc_dec),     # ref rcbwt.c default lev 8
     9: ("rcmrr", _rcmrr_enc, _rcmrr_dec),  # ref rcbwt.c:94 lev 9
     10: ("rans-auto", _auto_enc, _auto_dec),
+    11: ("qlfc2", _qlfc2_enc, _qlfc2_dec),  # context-sorted QLFC (lev 8
+    #                                         at scale; see qlfc.py)
 }
 _STAGE_IDS = {2: 2, 3: 3, 4: 3, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9,
               10: 10}
 _BY_STAGE_ID = {2: _STAGES[2], 3: _STAGES[3], 5: _STAGES[5],
                 7: _STAGES[7], 8: _STAGES[8], 9: _STAGES[9],
-                10: _STAGES[10]}
+                10: _STAGES[10], 11: _STAGES[11]}
+
+# lev 8 upgrades to the context-sorted stage once the body is big enough
+# to amortize the flagship kernel's lane geometry (the reference has one
+# sequential coder and no such floor)
+QLFC2_MIN = int(os.environ.get("TRC_QLFC2_MIN", str(4 << 20)))
+
+
+def _pick_stage(level: int, nbytes: int) -> int:
+    sid = _STAGE_IDS.get(level, 7)
+    if sid == 8 and nbytes >= QLFC2_MIN:
+        return 11
+    return sid
 
 
 # Entropy-stage segmentation: stage inputs above SEG bytes are coded as
@@ -155,7 +179,7 @@ def _stage_decode(stage_id: int, body: bytes, nl: int, segmented: bool,
 
 def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
                  prm0: int = 4, prm1: int = 7, level: int = 8,
-                 lzp_min: int = 32, use_utf8: bool = True,
+                 lzp_min: int = 32, use_utf8: bool = True, geom=None,
                  **_unused) -> bytes:
     if data.shape[0] == 0:
         return struct.pack("<QBB", 0, 0, 0)
@@ -169,11 +193,11 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
                 2 * r16[2].shape[0] < data.shape[0] * 1.2:
             nsym, table, ids = r16
             bwt_ids, primary = native.bwt16(ids)
-            stage_id = _STAGE_IDS.get(level, 7)
             body = bwt_ids.astype("<u2").view(np.uint8)
+            stage_id = _pick_stage(level, body.shape[0])
             payload, seg = _stage_encode(stage_id, body, lanes=lanes,
                                          step_quant=step_quant,
-                                         prm0=prm0, prm1=prm1)
+                                         prm0=prm0, prm1=prm1, geom=geom)
             if len(payload) >= body.shape[0]:
                 stage_id, payload, seg = 0, body.tobytes(), False
             head = struct.pack("<QBB", primary, stage_id,
@@ -193,10 +217,10 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
         flags |= 1
         pre = lz
     bwt_data, primary = native.bwt(pre)
-    stage_id = _STAGE_IDS.get(level, 7)
+    stage_id = _pick_stage(level, bwt_data.shape[0])
     payload, seg = _stage_encode(stage_id, bwt_data, lanes=lanes,
                                  step_quant=step_quant,
-                                 prm0=prm0, prm1=prm1)
+                                 prm0=prm0, prm1=prm1, geom=geom)
     if len(payload) >= pre.shape[0]:
         stage_id, payload, seg = 0, bwt_data.tobytes(), False
     head = struct.pack("<QBB", primary, stage_id, flags | (8 if seg else 0))

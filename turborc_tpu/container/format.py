@@ -79,7 +79,7 @@ def read_header(buf: bytes):
         raise ValueError("corrupt container header (crc mismatch)")
     try:
         geom = Geom.unpack(gb)
-    except AssertionError as e:
+    except (AssertionError, ValueError) as e:
         raise ValueError(f"corrupt container: bad geometry ({e})")
     return dict(codec_id=codec_id, flags=flags, lanes=1 << log2_lanes,
                 step_quant=1 << log2_step, prm0=prm0, prm1=prm1,

@@ -267,3 +267,83 @@ def becw_dec(payload: bytes, L: int, K: int) -> np.ndarray:
     if r != 0:
         raise ValueError("corrupt payload: bec count out of range")
     return out
+
+
+def _qlfc2_bind():
+    lib = load()
+    if not hasattr(lib.trc_qlfc2_ranks, "_bound"):
+        lib.trc_qlfc2_ranks.restype = None
+        lib.trc_qlfc2_ranks.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p, ctypes.c_void_p]
+        lib.trc_qlfc2_ctx.restype = None
+        lib.trc_qlfc2_ctx.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_void_p, ctypes.c_void_p]
+        for f in (lib.trc_qlfc2_merge, lib.trc_qlfc2_rdemux):
+            f.restype = ctypes.c_int
+            f.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                          ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.trc_qlfc2_ranks._bound = True
+    return lib
+
+
+def qlfc2_ranks(heads: np.ndarray):
+    """Backward-MTF (QLFC) rank construction; returns (ranks, init_list).
+    Reference analog: rcutil.c:179-220 (ranks emitted right-to-left so
+    the decoder's MTF front is the coded symbol, rcqlfc_.c:92)."""
+    heads = np.ascontiguousarray(heads, np.uint8)
+    ranks = np.empty_like(heads)
+    init_list = np.empty(256, np.uint8)
+    _qlfc2_bind().trc_qlfc2_ranks(heads.ctypes.data, heads.shape[0],
+                                  ranks.ctypes.data, init_list.ctypes.data)
+    return ranks, init_list
+
+
+def qlfc2_ctx(heads: np.ndarray, ranks: np.ndarray, runs: np.ndarray):
+    """Per-element (rank_ctx, run_ctx) u16 context ids (u*8 | RICEK(EMA))."""
+    heads = np.ascontiguousarray(heads, np.uint8)
+    ranks = np.ascontiguousarray(ranks, np.uint8)
+    runs = np.ascontiguousarray(runs, np.uint32)
+    m = heads.shape[0]
+    rctx = np.empty(m, np.uint16)
+    rnctx = np.empty(m, np.uint16)
+    _qlfc2_bind().trc_qlfc2_ctx(heads.ctypes.data, ranks.ctypes.data,
+                                runs.ctypes.data, m, rctx.ctypes.data,
+                                rnctx.ctypes.data)
+    return rctx, rnctx
+
+
+def qlfc2_merge(sorted_ranks: np.ndarray, counts: np.ndarray,
+                init_list: np.ndarray) -> np.ndarray:
+    """Decode rank walk: context-sorted ranks -> run-head symbols."""
+    sorted_ranks = np.ascontiguousarray(sorted_ranks, np.uint8)
+    counts = np.ascontiguousarray(counts, np.uint64)
+    base = np.zeros_like(counts)
+    np.cumsum(counts[:-1], out=base[1:])
+    init_list = np.ascontiguousarray(init_list, np.uint8)
+    m = sorted_ranks.shape[0]
+    heads = np.empty(m, np.uint8)
+    rc = _qlfc2_bind().trc_qlfc2_merge(
+        sorted_ranks.ctypes.data, base.ctypes.data, counts.ctypes.data,
+        init_list.ctypes.data, m, heads.ctypes.data)
+    if rc != 0:
+        raise ValueError("corrupt payload: qlfc2 rank context overrun")
+    return heads
+
+
+def qlfc2_rdemux(heads: np.ndarray, sorted_runs: np.ndarray,
+                 counts: np.ndarray) -> np.ndarray:
+    """Decode run demux: context-sorted runs -> in-order runs (u32)."""
+    heads = np.ascontiguousarray(heads, np.uint8)
+    sorted_runs = np.ascontiguousarray(sorted_runs, np.uint32)
+    counts = np.ascontiguousarray(counts, np.uint64)
+    base = np.zeros_like(counts)
+    np.cumsum(counts[:-1], out=base[1:])
+    m = heads.shape[0]
+    runs = np.empty(m, np.uint32)
+    rc = _qlfc2_bind().trc_qlfc2_rdemux(
+        heads.ctypes.data, sorted_runs.ctypes.data, base.ctypes.data,
+        counts.ctypes.data, m, runs.ctypes.data)
+    if rc != 0:
+        raise ValueError("corrupt payload: qlfc2 run context overrun")
+    return runs
