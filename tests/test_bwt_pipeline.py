@@ -70,9 +70,13 @@ def test_segmented_stage_roundtrip(rng, monkeypatch):
     assert np.array_equal(out, data)
     # corrupt the first chunk's length field -> clean ValueError, not
     # garbage.  Offset computed from the parsed flags: header is
-    # <QBB> (10 bytes) + 8 per set utf8/lzp length field, then the
-    # segmented framing's u32 nchunks, then the chunk's u32 orig_len.
-    off = 10 + 8 * bool(flags & 2) + 8 * bool(flags & 1)
+    # <QBB> (10 bytes) + aux block (flag 16) + 8 per set utf8/lzp length
+    # field, then the segmented framing's u32 nchunks, then the chunk's
+    # u32 orig_len.
+    off = 10
+    if flags & 16:
+        off += 1 + 4 * pay[off]
+    off += 8 * bool(flags & 2) + 8 * bool(flags & 1)
     bad = bytearray(pay)
     bad[off + 4] ^= 0xFF  # low byte of chunk 0's orig_len
     import pytest as _pytest

@@ -192,7 +192,7 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
         if r16 is not None and r16[0] > 256 and \
                 2 * r16[2].shape[0] < data.shape[0] * 1.2:
             nsym, table, ids = r16
-            bwt_ids, primary = native.bwt16(ids)
+            bwt_ids, primary, aux = native.bwt16_aux(ids)
             body = bwt_ids.astype("<u2").view(np.uint8)
             stage_id = _pick_stage(level, body.shape[0])
             payload, seg = _stage_encode(stage_id, body, lanes=lanes,
@@ -201,7 +201,8 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
             if len(payload) >= body.shape[0]:
                 stage_id, payload, seg = 0, body.tobytes(), False
             head = struct.pack("<QBB", primary, stage_id,
-                               4 | (8 if seg else 0))
+                               4 | (8 if seg else 0) | 16)
+            head += struct.pack("<B", aux.shape[0]) + aux.tobytes()
             head += struct.pack("<QI", ids.shape[0], table.shape[0])
             return head + table.tobytes() + payload
     # UTF-8 remap, kept only when it shrinks the stream (rcbwt.c:43)
@@ -216,14 +217,16 @@ def encode_block(data: np.ndarray, lanes: int = 512, step_quant: int = 256,
     if lz is not None and len(lz) <= pre.shape[0] * 0.992:
         flags |= 1
         pre = lz
-    bwt_data, primary = native.bwt(pre)
+    bwt_data, primary, aux = native.bwt_aux(pre)
     stage_id = _pick_stage(level, bwt_data.shape[0])
     payload, seg = _stage_encode(stage_id, bwt_data, lanes=lanes,
                                  step_quant=step_quant,
                                  prm0=prm0, prm1=prm1, geom=geom)
     if len(payload) >= pre.shape[0]:
         stage_id, payload, seg = 0, bwt_data.tobytes(), False
-    head = struct.pack("<QBB", primary, stage_id, flags | (8 if seg else 0))
+    head = struct.pack("<QBB", primary, stage_id,
+                       flags | (8 if seg else 0) | 16)
+    head += struct.pack("<B", aux.shape[0]) + aux.tobytes()
     if flags & 2:
         head += struct.pack("<Q", utf8_len)
     if flags & 1:
@@ -238,6 +241,16 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
     if n == 0:
         return np.zeros(0, np.uint8)
     off = 10
+    aux = np.zeros(0, np.uint32)
+    if flags & 16:  # aux row indexes for the interleaved inverse BWT
+        if off + 1 > len(payload):
+            raise ValueError("corrupt payload: truncated bwt aux header")
+        naux = payload[off]
+        off += 1
+        if off + 4 * naux > len(payload):
+            raise ValueError("corrupt payload: truncated bwt aux indexes")
+        aux = np.frombuffer(payload[off:off + 4 * naux], np.uint32)
+        off += 4 * naux
     if flags & 4:  # wide-alphabet 16-bit BWT path
         n_ids, tbl_len = struct.unpack_from("<QI", payload, off)
         off += 12
@@ -251,7 +264,9 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
             raw = _stage_decode(stage_id, body, nb, bool(flags & 8),
                                 lanes=lanes, step_quant=step_quant,
                                 prm0=prm0, prm1=prm1)
-        ids = native.unbwt16(raw.view("<u2"), primary)
+        u16 = raw.view("<u2")
+        ids = (native.unbwt16_aux(u16, primary, aux) if aux.shape[0]
+               else native.unbwt16(u16, primary))
         return native.utf8_unmap16(table, ids, n)
     utf8_len = n
     if flags & 2:
@@ -268,7 +283,8 @@ def decode_block(payload: bytes, n: int, lanes: int = 512,
         bwt_data = _stage_decode(stage_id, body, nl, bool(flags & 8),
                                  lanes=lanes, step_quant=step_quant,
                                  prm0=prm0, prm1=prm1)
-    pre = native.unbwt(bwt_data, primary)
+    pre = (native.unbwt_aux(bwt_data, primary, aux) if aux.shape[0]
+           else native.unbwt(bwt_data, primary))
     if flags & 1:
         pre = native.unlzp(pre, utf8_len, lzp_min)
     if flags & 2:

@@ -347,3 +347,87 @@ def qlfc2_rdemux(heads: np.ndarray, sorted_runs: np.ndarray,
     if rc != 0:
         raise ValueError("corrupt payload: qlfc2 run context overrun")
     return runs
+
+
+def _aux_bind():
+    lib = load()
+    if not hasattr(lib.trc_bwt_aux, "_bound"):
+        for f in (lib.trc_bwt_aux, lib.trc_bwt16_aux):
+            f.restype = ctypes.c_int64
+            f.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                          ctypes.c_int64, ctypes.c_void_p]
+        for f in (lib.trc_unbwt_aux, lib.trc_unbwt16_aux):
+            f.restype = ctypes.c_int
+            f.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                          ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                          ctypes.c_int64]
+        lib.trc_bwt_aux._bound = True
+    return lib
+
+
+BWT_CHAINS = 16  # interleaved inverse-BWT chains (reference SR, rcbwt.c:26)
+
+
+def bwt_mod(n: int, chains: int = BWT_CHAINS) -> int:
+    """Aux spacing: ceil(n/chains) keeps straggler steps < chains."""
+    return max(-(-n // chains), 1)
+
+
+def bwt_aux(data: np.ndarray, chains: int = BWT_CHAINS):
+    """BWT + aux row indexes for the interleaved inverse (the reference's
+    libsais_bwt_aux path, rcbwt.c:66-80).  Returns (bwt, primary, aux)."""
+    data = np.ascontiguousarray(data, np.uint8)
+    n = data.shape[0]
+    mod = bwt_mod(n, chains)
+    naux = max(-(-n // mod) - 1, 0)
+    aux = np.zeros(naux, np.uint32)
+    out = np.empty_like(data)
+    p = _aux_bind().trc_bwt_aux(data.ctypes.data, out.ctypes.data, n, mod,
+                                aux.ctypes.data)
+    if p < 0:
+        raise ValueError("bwt failed (input too large?)")
+    return out, int(p), aux
+
+
+def unbwt_aux(data: np.ndarray, primary: int, aux: np.ndarray) -> np.ndarray:
+    data = np.ascontiguousarray(data, np.uint8)
+    aux = np.ascontiguousarray(aux, np.uint32)
+    n = data.shape[0]
+    mod = bwt_mod(n, aux.shape[0] + 1) if aux.shape[0] else n
+    # chain count is derived from n and mod inside; validate match
+    out = np.empty_like(data)
+    rc = _aux_bind().trc_unbwt_aux(data.ctypes.data, out.ctypes.data, n,
+                                   primary, mod, aux.ctypes.data,
+                                   aux.shape[0])
+    if rc != 0:
+        raise ValueError("unbwt failed: corrupt input, primary, or aux")
+    return out
+
+
+def bwt16_aux(elems: np.ndarray, chains: int = BWT_CHAINS):
+    elems = np.ascontiguousarray(elems, np.uint16)
+    n = elems.shape[0]
+    mod = bwt_mod(n, chains)
+    naux = max(-(-n // mod) - 1, 0)
+    aux = np.zeros(naux, np.uint32)
+    out = np.empty_like(elems)
+    p = _aux_bind().trc_bwt16_aux(elems.ctypes.data, out.ctypes.data, n,
+                                  mod, aux.ctypes.data)
+    if p < 0:
+        raise ValueError("bwt16 failed (input too large?)")
+    return out, int(p), aux
+
+
+def unbwt16_aux(elems: np.ndarray, primary: int,
+                aux: np.ndarray) -> np.ndarray:
+    elems = np.ascontiguousarray(elems, np.uint16)
+    aux = np.ascontiguousarray(aux, np.uint32)
+    n = elems.shape[0]
+    mod = bwt_mod(n, aux.shape[0] + 1) if aux.shape[0] else n
+    out = np.empty_like(elems)
+    rc = _aux_bind().trc_unbwt16_aux(elems.ctypes.data, out.ctypes.data, n,
+                                     primary, mod, aux.ctypes.data,
+                                     aux.shape[0])
+    if rc != 0:
+        raise ValueError("unbwt16 failed: corrupt input, primary, or aux")
+    return out

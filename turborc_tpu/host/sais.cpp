@@ -156,25 +156,34 @@ int64_t trc_bwt(const uint8_t* in, uint8_t* out, int64_t n) {
   return primary;
 }
 
-// Inverse BWT via the LF-mapping walk.
-int trc_unbwt(const uint8_t* in, uint8_t* out, int64_t n, int64_t primary) {
-  if (n < 0 || primary < 0 || primary > n) return -1;
-  if (n == 0) return 0;
-  // F-column start offsets; +1 accounts for the sentinel at F position 0.
+namespace {
+
+// Shared LF table build (int32: half the memory traffic of the previous
+// int64 table - the walk is memory-latency bound).
+void build_lf(const uint8_t* in, int64_t n, int64_t primary, int32_t* lf) {
   int64_t C[257];
   memset(C, 0, sizeof C);
   for (int64_t i = 0; i < n; ++i) C[in[i] + 1]++;
   int64_t sum = 1;
   for (int32_t c = 0; c < 257; ++c) { int64_t t = C[c]; C[c] = sum; sum += t; }
   C[0] = 0;  // unused
-  // LF[k] over conceptual rows 0..n (skipping the dropped "$" row = primary)
-  std::vector<int64_t> lf(n + 1);
   int64_t m = 0;
   for (int64_t k = 0; k <= n; ++k) {
     if (k == primary) continue;
-    lf[k] = C[in[m] + 1]++;
+    lf[k] = int32_t(C[in[m] + 1]++);
     ++m;
   }
+  lf[primary] = 0;  // never followed; keep the slot defined
+}
+
+}  // namespace
+
+// Inverse BWT via the LF-mapping walk.
+int trc_unbwt(const uint8_t* in, uint8_t* out, int64_t n, int64_t primary) {
+  if (n < 0 || primary < 0 || primary > n) return -1;
+  if (n == 0) return 0;
+  std::vector<int32_t> lf(n + 1);
+  build_lf(in, n, primary, lf.data());
   // walk backward from row 0 (the "$..." rotation)
   int64_t r = 0;
   for (int64_t i = n - 1; i >= 0; --i) {
@@ -182,6 +191,70 @@ int trc_unbwt(const uint8_t* in, uint8_t* out, int64_t n, int64_t primary) {
     r = lf[r];
   }
   return r == primary ? 0 : -1;  // the walk must end at the "$" row
+}
+
+// BWT with aux row indexes for the interleaved inverse (the reference
+// rides libsais_bwt_aux the same way, rcbwt.c:66-80): aux[c] = the row
+// whose rotation starts at text position (c+1)*mod, read straight off
+// the suffix array.  naux = ceil(n/mod) - 1 entries are written.
+int64_t trc_bwt_aux(const uint8_t* in, uint8_t* out, int64_t n,
+                    int64_t mod, uint32_t* aux) {
+  if (n <= 0 || mod <= 0) return n == 0 ? 0 : -1;
+  std::vector<int32_t> sa(n + 1);
+  if (trc_sais(in, sa.data(), n) != 0) return -1;
+  int64_t primary = -1, m = 0;
+  for (int64_t k = 0; k <= n; ++k) {
+    int32_t j = sa[k];
+    if (j > 0 && j < n && j % mod == 0) aux[j / mod - 1] = uint32_t(k);
+    if (j == 0) { primary = k; continue; }
+    out[m++] = in[j - 1];
+  }
+  return primary;
+}
+
+// Interleaved inverse BWT: ceil(n/mod) independent LF chains advance in
+// lock-step, so the out-of-order core overlaps their cache misses
+// (memory-level parallelism; the single-chain walk is latency-bound at
+// ~3 MB/s on this host).  Chain c reconstructs out[c*mod .. end_c-1]
+// backward from row aux[c-1] (chain 0 ends at row 0, the "$" rotation,
+// which needs no stored index).
+int trc_unbwt_aux(const uint8_t* in, uint8_t* out, int64_t n,
+                  int64_t primary, int64_t mod, const uint32_t* aux,
+                  int64_t naux) {
+  if (n < 0 || primary < 0 || primary > n || mod <= 0) return -1;
+  if (n == 0) return 0;
+  int64_t nch = (n + mod - 1) / mod;
+  if (naux != nch - 1) return -1;
+  std::vector<int32_t> lf(n + 1);
+  build_lf(in, n, primary, lf.data());
+  std::vector<int64_t> r(nch), pos(nch), stop(nch);
+  for (int64_t c = 0; c < nch; ++c) {
+    int64_t end = (c + 1 < nch) ? (c + 1) * mod : n;
+    r[c] = (c + 1 < nch) ? int64_t(aux[c]) : 0;
+    if (r[c] > n) return -1;
+    pos[c] = end - 1;
+    stop[c] = c * mod;
+  }
+  // full rounds while every chain is active (all chains have >= the
+  // last chain's length; the last is the only short one)
+  int64_t full = n - (nch - 1) * mod;  // last chain's length
+  for (int64_t s = 0; s < full; ++s) {
+    for (int64_t c = 0; c < nch; ++c) {
+      int64_t rc = r[c];
+      out[pos[c]--] = in[rc - (rc > primary ? 1 : 0)];
+      r[c] = lf[rc];
+    }
+  }
+  // stragglers (chains 0..nch-2 may have up to mod-full steps left)
+  for (int64_t c = 0; c + 1 < nch; ++c) {
+    int64_t rc = r[c];
+    for (int64_t i = pos[c]; i >= stop[c]; --i) {
+      out[i] = in[rc - (rc > primary ? 1 : 0)];
+      rc = lf[rc];
+    }
+    r[c] = rc;
+  }
+  return r[0] == primary ? 0 : -1;  // chain 0 must end at the "$" row
 }
 
 // 16-bit-symbol BWT (reference xbwt16 path for UTF-8 2-byte ids,
@@ -202,10 +275,8 @@ int64_t trc_bwt16(const uint16_t* in, uint16_t* out, int64_t n) {
   return primary;
 }
 
-int trc_unbwt16(const uint16_t* in, uint16_t* out, int64_t n,
-                int64_t primary) {
-  if (n < 0 || primary < 0 || primary > n) return -1;
-  if (n == 0) return 0;
+static void build_lf16(const uint16_t* in, int64_t n, int64_t primary,
+                       int32_t* lf) {
   std::vector<int64_t> C(65538, 0);
   for (int64_t i = 0; i < n; ++i) C[in[i] + 1]++;
   int64_t sum = 1;
@@ -213,19 +284,81 @@ int trc_unbwt16(const uint16_t* in, uint16_t* out, int64_t n,
     int64_t t = C[c]; C[c] = sum; sum += t;
   }
   C[0] = 0;
-  std::vector<int64_t> lf(n + 1);
   int64_t m = 0;
   for (int64_t k = 0; k <= n; ++k) {
     if (k == primary) continue;
-    lf[k] = C[in[m] + 1]++;
+    lf[k] = int32_t(C[in[m] + 1]++);
     ++m;
   }
+  lf[primary] = 0;
+}
+
+int trc_unbwt16(const uint16_t* in, uint16_t* out, int64_t n,
+                int64_t primary) {
+  if (n < 0 || primary < 0 || primary > n) return -1;
+  if (n == 0) return 0;
+  std::vector<int32_t> lf(n + 1);
+  build_lf16(in, n, primary, lf.data());
   int64_t r = 0;
   for (int64_t i = n - 1; i >= 0; --i) {
     out[i] = in[r - (r > primary ? 1 : 0)];
     r = lf[r];
   }
   return r == primary ? 0 : -1;
+}
+
+int64_t trc_bwt16_aux(const uint16_t* in, uint16_t* out, int64_t n,
+                      int64_t mod, uint32_t* aux) {
+  if (n <= 0 || mod <= 0) return n == 0 ? 0 : -1;
+  if (n > INT32_C(0x7ffffffe) - 1) return -1;
+  std::vector<int32_t> t(n + 1), sa(n + 1);
+  for (int64_t i = 0; i < n; ++i) t[i] = int32_t(in[i]) + 1;
+  t[n] = 0;
+  sais_rec(t.data(), sa.data(), int32_t(n + 1), 65537);
+  int64_t primary = -1, m = 0;
+  for (int64_t k = 0; k <= n; ++k) {
+    int32_t j = sa[k];
+    if (j > 0 && j < n && j % mod == 0) aux[j / mod - 1] = uint32_t(k);
+    if (j == 0) { primary = k; continue; }
+    out[m++] = in[j - 1];
+  }
+  return primary;
+}
+
+int trc_unbwt16_aux(const uint16_t* in, uint16_t* out, int64_t n,
+                    int64_t primary, int64_t mod, const uint32_t* aux,
+                    int64_t naux) {
+  if (n < 0 || primary < 0 || primary > n || mod <= 0) return -1;
+  if (n == 0) return 0;
+  int64_t nch = (n + mod - 1) / mod;
+  if (naux != nch - 1) return -1;
+  std::vector<int32_t> lf(n + 1);
+  build_lf16(in, n, primary, lf.data());
+  std::vector<int64_t> r(nch), pos(nch), stop(nch);
+  for (int64_t c = 0; c < nch; ++c) {
+    int64_t end = (c + 1 < nch) ? (c + 1) * mod : n;
+    r[c] = (c + 1 < nch) ? int64_t(aux[c]) : 0;
+    if (r[c] > n) return -1;
+    pos[c] = end - 1;
+    stop[c] = c * mod;
+  }
+  int64_t full = n - (nch - 1) * mod;
+  for (int64_t s = 0; s < full; ++s) {
+    for (int64_t c = 0; c < nch; ++c) {
+      int64_t rc = r[c];
+      out[pos[c]--] = in[rc - (rc > primary ? 1 : 0)];
+      r[c] = lf[rc];
+    }
+  }
+  for (int64_t c = 0; c + 1 < nch; ++c) {
+    int64_t rc = r[c];
+    for (int64_t i = pos[c]; i >= stop[c]; --i) {
+      out[i] = in[rc - (rc > primary ? 1 : 0)];
+      rc = lf[rc];
+    }
+    r[c] = rc;
+  }
+  return r[0] == primary ? 0 : -1;
 }
 
 }  // extern "C"
