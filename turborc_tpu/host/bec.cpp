@@ -21,10 +21,7 @@ using u64 = uint64_t;
 using i64 = int64_t;
 
 inline int blc(i64 m) {  // ceil(log2(m)) for m >= 1
-  i64 v = m - 1;
-  int b = 0;
-  while (v > 0) { ++b; v >>= 1; }
-  return b;
+  return m > 1 ? 64 - __builtin_clzll((u64)(m - 1)) : 0;
 }
 
 struct BitWriter {  // LSB-first within little-endian u64 words
@@ -54,24 +51,35 @@ struct BitReader {
   i64 nbytes;   // payload bytes available
   i64 pos = 0;  // bit position
   bool bad = false;
-  u64 get(int w) {
+  // positional read: no serial dependency on a reader cursor, so
+  // independent reads overlap in the out-of-order core
+  u64 at(i64 p, int w) {
     if (w <= 0) return 0;
-    // python reader pads with >= 8 zero bytes and flags reads past the
-    // padded length as corrupt
-    if (pos + w > nbytes * 8 + 64) { bad = true; return 0; }
-    i64 byte = pos >> 3;
-    u8 tmp[16] = {0};
-    i64 take = nbytes - byte;
-    if (take > 16) take = 16;
-    if (take > 0) std::memcpy(tmp, buf + byte, (size_t)take);
+    i64 byte = p >> 3;
     u64 lo, hi;
-    std::memcpy(&lo, tmp, 8);
-    std::memcpy(&hi, tmp + 8, 8);
-    int off = (int)(pos & 7);
+    if (byte + 16 <= nbytes) {  // hot path: direct unaligned loads
+      std::memcpy(&lo, buf + byte, 8);
+      std::memcpy(&hi, buf + byte + 8, 8);
+    } else {
+      // python reader pads with >= 8 zero bytes and flags reads past
+      // the padded length as corrupt
+      if (p + w > nbytes * 8 + 64) { bad = true; return 0; }
+      u8 tmp[16] = {0};
+      i64 take = nbytes - byte;
+      if (take > 16) take = 16;
+      if (take > 0) std::memcpy(tmp, buf + byte, (size_t)take);
+      std::memcpy(&lo, tmp, 8);
+      std::memcpy(&hi, tmp + 8, 8);
+    }
+    int off = (int)(p & 7);
     u64 v = lo >> off;
     if (off) v |= hi << (64 - off);
-    pos += w;
     return w >= 64 ? v : (v & ((u64(1) << w) - 1));
+  }
+  u64 get(int w) {
+    u64 v = at(pos, w);
+    pos += w;
+    return v;
   }
 };
 
@@ -171,17 +179,38 @@ bool decode_forest(BitReader& rd, i64 R, i64 K, u8* out,
       nxt[(size_t)(2 * f)] = left;
       nxt[(size_t)(2 * f + 1)] = t - left;
     }
-    if (!active.empty()) {
+    if (!active.empty() && h == 1) {
+      // last level: every active segment has t == 1, m == 2, b == 1,
+      // T == 0 - zero prefix bits, exactly one extra bit.  Tight
+      // sequential 1-bit reads with a local cursor.
+      i64 p = rd.pos;
+      if (p + (i64)active.size() > rd.nbytes * 8 + 64) return false;
+      const i64 limit = rd.nbytes * 8;  // reads in the pad window are 0
+      for (i64 f : active) {
+        int32_t bit = p < limit
+            ? (int32_t)((rd.buf[(size_t)(p >> 3)] >> (p & 7)) & 1) : 0;
+        ++p;
+        nxt[(size_t)(2 * f)] = bit;
+        nxt[(size_t)(2 * f + 1)] = 1 - bit;
+      }
+      rd.pos = p;
+    } else if (!active.empty()) {
       pres.resize(active.size());
-      // pass 1: all prefix fields of the level
+      // pass 1: all prefix fields of the level.  Widths depend only on
+      // the previous level's counts, so field positions are computed
+      // up-front and the reads carry no serial cursor dependency.
+      i64 p = rd.pos;
       for (size_t i = 0; i < active.size(); ++i) {
         i64 f = active[i];
         i64 t = cur[(size_t)f];
         i64 lo = t - h > 0 ? t - h : 0;
         i64 m = (t < h ? t : h) - lo + 1;
-        int b = blc(m);
-        pres[i] = (i64)rd.get(b - 1 > 0 ? b - 1 : 0);
+        int w = blc(m) - 1;
+        if (w < 0) w = 0;
+        pres[i] = (i64)rd.at(p, w);
+        p += w;
       }
+      rd.pos = p;
       // pass 2: extras, then resolve
       for (size_t i = 0; i < active.size(); ++i) {
         i64 f = active[i];
