@@ -3,8 +3,9 @@
 
 def test_scaling_reporter_runs():
     from turborc_tpu.bench import scaling
-    rows = scaling.measure(n_mb=1 / 32, max_devices=2, lanes=8, reps=1)
+    rows = scaling.measure(per_mb=1 / 32, max_devices=2, lanes=8, reps=1)
     assert [r["devices"] for r in rows] == [1, 2]
     assert all(r["roundtrip_ok"] for r in rows)
     assert all(r["decode_mbs"] > 0 for r in rows)
-    assert rows[0]["scaling_efficiency"] == 1.0
+    assert rows[0]["parallel_efficiency"] == 1.0
+    assert rows[0]["overhead_efficiency"] == 1.0

@@ -29,5 +29,21 @@ Architecture (see SURVEY.md for the reference layer map):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent kernel-compile cache: the flagship kernels compile per
+# (geometry, K) variant (~20-100s each on the TPU toolchain); a disk
+# cache makes every variant a one-time cost per machine instead of per
+# process.  Opt out with TRC_NO_COMPILE_CACHE=1 or by setting
+# JAX_COMPILATION_CACHE_DIR yourself.
+if not _os.environ.get("TRC_NO_COMPILE_CACHE") and \
+        not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "jax-turborc"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from turborc_tpu.utils.config import CodecConfig  # noqa: F401
 from turborc_tpu.api import compress, decompress  # noqa: F401

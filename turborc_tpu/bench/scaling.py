@@ -1,15 +1,23 @@
 """Multi-device scaling-efficiency reporter (SURVEY.md section 5/7).
 
 Block data parallelism over a jax Mesh is the framework's distribution
-axis; this driver measures aggregate encode+decode throughput at 1..N
-devices and reports scaling efficiency.  On a real multi-chip slice it
-measures ICI-attached chips; on a single-chip or CPU host it runs the
-virtual-device mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N),
-which validates the sharded program and the efficiency *methodology*
-(virtual devices share one socket, so virtual numbers are not hardware
-throughput).
+axis; this driver measures WEAK scaling: per-device block size held
+constant, devices 1..N, aggregate encode+decode throughput per mesh
+size.  Two efficiency bases are reported because they answer different
+questions on different rigs:
 
-Usage: python -m turborc_tpu.bench.scaling [n_mb] [max_devices]
+- parallel_efficiency = dec_mbs / (base_dec_mbs * ndev): the real
+  multi-chip metric (ideal = linear aggregate throughput).  Meaningful
+  ONLY when devices are physically parallel.
+- overhead_efficiency = dec_mbs / base_dec_mbs: on a VIRTUAL mesh
+  (XLA_FLAGS=--xla_force_host_platform_device_count=N on one socket)
+  every "device" timeshares the same core, so the ideal aggregate
+  throughput is FLAT; any drop below 1.0 is the cost the sharded
+  program added (collectives, stitch, scheduling).  This is the metric
+  a 1-core virtual rig can honestly measure, and it bounds the real
+  multi-chip efficiency from the software side.
+
+Usage: python -m turborc_tpu.bench.scaling [per_device_mb] [max_devices]
 """
 from __future__ import annotations
 
@@ -20,7 +28,7 @@ import time
 import numpy as np
 
 
-def measure(n_mb: float = 4, max_devices: int | None = None,
+def measure(per_mb: float = 4, max_devices: int | None = None,
             lanes: int = 256, reps: int = 2) -> list[dict]:
     import jax
     import jax.numpy as jnp
@@ -31,16 +39,15 @@ def measure(n_mb: float = 4, max_devices: int | None = None,
 
     ndev_all = len(jax.devices())
     max_devices = min(max_devices or ndev_all, ndev_all)
-    n = int(n_mb * (1 << 20))
-    data = corpus.get("textbwt", n)
+    per = int(per_mb * (1 << 20))
+    data = corpus.get("textbwt", per * max_devices)
 
     results = []
     base = None
     counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= max_devices]
     for ndev in counts:
         mesh = pmesh.make_mesh(ndev)
-        B = ndev  # one block per device
-        per = n // B
+        B = ndev  # one block per device, constant per-device bytes
         n_used = per * B
         blocks = np.stack([
             C._shape_block(data[i * per:(i + 1) * per], lanes, 256)[0]
@@ -78,18 +85,20 @@ def measure(n_mb: float = 4, max_devices: int | None = None,
         if base is None:
             base = dec_mbs
         results.append(dict(
-            devices=ndev, decode_mbs=round(dec_mbs, 3),
+            devices=ndev, per_device_mb=round(per / 1e6, 2),
+            decode_mbs=round(dec_mbs, 3),
             encode_mbs=round(n_used / enc_s / 1e6, 3),
-            scaling_efficiency=round(dec_mbs / (base * ndev), 3),
+            parallel_efficiency=round(dec_mbs / (base * ndev), 3),
+            overhead_efficiency=round(dec_mbs / base, 3),
             roundtrip_ok=ok,
         ))
     return results
 
 
 def main():
-    n_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4
+    per_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4
     max_devices = int(sys.argv[2]) if len(sys.argv) > 2 else None
-    for row in measure(n_mb, max_devices):
+    for row in measure(per_mb, max_devices):
         print(json.dumps(row))
 
 
