@@ -74,6 +74,7 @@ def _bench_pallas(data, n):
         los.append(lo_tbl)
     _ = [np.asarray(b[0, :4]) for b in blocks]  # force upload
 
+    dec_tile = K_.decode_tile_x2 if g.nstates == 2 else K_.decode_tile
     gs0, gl0 = K_.encode_tile_pallas(blocks[0], K, his[0], los[0], geom=g)
     _ = np.asarray(gl0)  # warm compile + sync
     t0 = time.perf_counter()
@@ -83,10 +84,10 @@ def _bench_pallas(data, n):
     enc_s = (time.perf_counter() - t0) / REPS
 
     streams = [gs0] + [o[0] for o in outs]
-    out, _fs = K_.decode_tile(streams[0], K, his[0], los[0], geom=g)
+    out, _fs = dec_tile(streams[0], K, his[0], los[0], geom=g)
     _ = np.asarray(out[0, 0, :4])
     t0 = time.perf_counter()
-    decs = [K_.decode_tile(streams[i], K, his[i], los[i], geom=g)
+    decs = [dec_tile(streams[i], K, his[i], los[i], geom=g)
             for i in range(1, REPS + 1)]
     _ = [np.asarray(d[0][0, 0, :4]) for d in decs]  # sync
     dec_s = (time.perf_counter() - t0) / REPS

@@ -194,7 +194,15 @@ _PAD_COLS = 128
 def _padded_m(m: int, sub: int, g) -> int:
     lanes = (g.groups * 128) if sub == 0 else _s8_lanes(m)
     q = lanes * _PAD_COLS
-    return max(-(-m // q) * q, q)
+    units = max(-(-m // q), 1)
+    # geometric grid: round the quantum count up to 3 significant bits
+    # (<= 4 distinct K per octave, <= 12.5% padding at ~0.03 bits/symbol)
+    # so segmented 64MB inputs hit a handful of kernel-compile variants
+    # instead of one per chunk
+    if units > 4:
+        sh = units.bit_length() - 3
+        units = -(-units >> sh) << sh
+    return units * q
 
 
 def _sub_encode(sub: int, data: np.ndarray, g) -> bytes:

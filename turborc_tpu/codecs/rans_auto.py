@@ -46,7 +46,19 @@ RUN_THRESHOLD = 2.5    # mean run length above which striding hurts
 _WIN = 64 << 10
 _MAX_WINDOWS = 8
 
-_TAG_S8, _TAG_R1, _TAG_S1 = 0, 1, 2
+# Tag 3 (round 4): order-1 arm with its own geometry embedded after the
+# tag (Geom.pack, 4 bytes).  The o1 tables adapt per lane-span, so FEWER
+# lanes = longer spans = better adaptation: g16 (2048 lanes) measured
+# 15.95% vs 16.66% at the container-default g64 on realsrcbwt16
+# (bench_artifacts/r03/o1_real16*.json).  Auto mode now picks the
+# o1-optimal geometry itself instead of requiring a hand-set --geom.
+_TAG_S8, _TAG_R1, _TAG_S1, _TAG_R1G = 0, 1, 2, 3
+
+# o1-optimal geometry by block size: the g16 span win needs enough
+# bytes per lane to amortize the warm-up (16MB/2048 lanes = 8KB spans);
+# small blocks keep more lanes.
+_R1_SPECS = ((4 << 20, "g16c8s8y4l32a16r4"),
+             (1 << 20, "g32c8s8y4l32a16r4"))
 
 
 def _impls():
@@ -110,10 +122,28 @@ def _share1(geom):
     return dataclasses.replace(geom or DEFAULT, share=1)
 
 
+def _r1_geom(n: int, geom):
+    """The o1-optimal geometry for an n-byte block (None = keep the
+    caller's geometry: an explicit --geom wins over the auto pick)."""
+    from turborc_tpu.ops.pallas.geom import DEFAULT, Geom
+    if geom is not None and geom != DEFAULT:
+        return None
+    for floor, spec in _R1_SPECS:
+        if n >= floor:
+            g = Geom.parse(spec)
+            return None if geom == g else g
+    return None
+
+
 def encode_block(data: np.ndarray, **kw) -> bytes:
     s8, r1 = _impls()
     geom = kw.get("geom")
     if o1_gain(data) >= GAIN_THRESHOLD:
+        g1 = _r1_geom(data.shape[0], geom)
+        if g1 is not None:
+            # geom drives the kernel codec, lanes its XLA twin
+            return (bytes([_TAG_R1G]) + g1.pack() + r1.encode_block(
+                data, **dict(kw, geom=g1, lanes=g1.lanes)))
         tag, mod = _TAG_R1, r1
     elif (geom is None or geom.share > 1) and mean_run(data) >= RUN_THRESHOLD:
         tag, mod = _TAG_S1, s8
@@ -127,9 +157,19 @@ def decode_block(payload: bytes, n: int, **kw) -> np.ndarray:
     if not payload:
         raise ValueError("corrupt payload: missing auto-dispatch tag")
     tag = payload[0]
-    if tag not in (_TAG_S8, _TAG_R1, _TAG_S1):
+    if tag not in (_TAG_S8, _TAG_R1, _TAG_S1, _TAG_R1G):
         raise ValueError(f"corrupt payload: bad auto-dispatch tag {tag}")
     s8, r1 = _impls()
+    if tag == _TAG_R1G:
+        from turborc_tpu.ops.pallas.geom import Geom
+        if len(payload) < 5:
+            raise ValueError("corrupt payload: truncated auto geometry")
+        try:
+            g = Geom.unpack(payload[1:5])
+        except ValueError as e:
+            raise ValueError(f"corrupt payload: bad auto geometry ({e})")
+        return r1.decode_block(payload[5:], n,
+                               **dict(kw, geom=g, lanes=g.lanes))
     if tag == _TAG_S1:
         kw = dict(kw, geom=_share1(kw.get("geom")))
     mod = r1 if tag == _TAG_R1 else s8

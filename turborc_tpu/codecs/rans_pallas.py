@@ -138,7 +138,7 @@ SEED_BYTES = SEED_BITS * LANES // 8
 
 
 def _seed_bytes(g: Geom) -> int:
-    return SEED_BITS * g.lanes // 8
+    return SEED_BITS * g.lanes * g.nstates // 8
 
 
 def _split_seed(data: np.ndarray, g: Geom = DEFAULT):
@@ -146,12 +146,14 @@ def _split_seed(data: np.ndarray, g: Geom = DEFAULT):
     s_len = min(data.shape[0], sb)
     buf = np.zeros(sb, np.uint8)
     buf[:s_len] = data[:s_len]
-    bits = np.unpackbits(buf).reshape(g.lanes, SEED_BITS)
+    bits = np.unpackbits(buf).reshape(g.nstates * g.lanes, SEED_BITS)
     pw = (1 << np.arange(SEED_BITS - 1, -1, -1)).astype(np.int64)
-    seeds = bits.astype(np.int64) @ pw                      # [LANES]
+    seeds = bits.astype(np.int64) @ pw                # [nstates * LANES]
     init = (jnp.asarray((seeds | (1 << SEED_BITS)).astype(np.int64))
-            .astype(jnp.uint32).astype(jnp.int32)).reshape(g.groups, 128)
-    return init, data[s_len:], s_len
+            .astype(jnp.uint32).astype(jnp.int32))
+    shape = ((g.groups, 128) if g.nstates == 1
+             else (g.nstates, g.groups, 128))
+    return init.reshape(shape), data[s_len:], s_len
 
 
 def _join_seed(fstates: np.ndarray, s_len: int) -> np.ndarray:
@@ -210,9 +212,13 @@ def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
                         g.share, g.groups)
     enc = K_.encode_tile_pallas if use_pallas_encoder else K_.encode_tile
     gstreams, glens = enc(block, K, hi_tbl, lo_tbl, init_states, geom=g)
-    glens = np.asarray(glens).astype(np.int64)
+    nst = g.nstates * g.groups  # stream count (x2: hi set then lo set)
+    if g.nstates == 2:
+        gstreams = gstreams.reshape(nst, gstreams.shape[2],
+                                    gstreams.shape[3])
+    glens = np.asarray(glens).astype(np.int64).reshape(nst)
     rows = _round_rows(-(-int(glens.max()) // 128), gstreams.shape[1])
-    gs = np.asarray(_slice_rows(gstreams, rows)).reshape(g.groups, -1)
+    gs = np.asarray(_slice_rows(gstreams, rows)).reshape(nst, -1)
     keep = (np.arange(gs.shape[1])[None, :] < glens[:, None])
     flat = gs[keep].astype(np.uint16)
     return (perm.tobytes() + _bio.pack_codes(codes)
@@ -230,26 +236,31 @@ def decode_block(payload: bytes, n: int, geom: Geom | None = None,
     codes, consumed = _bio.unpack_codes(payload[256:], g.groups)
     hi_q, lo_q = _bio.codes_to_tables(codes)
     off = 256 + consumed
-    glens = np.frombuffer(payload[off:off + 4 * g.groups], "<u4").astype(
+    nst = g.nstates * g.groups  # stream count (x2: hi set then lo set)
+    glens = np.frombuffer(payload[off:off + 4 * nst], "<u4").astype(
         np.int64)
-    flat = np.frombuffer(payload[off + 4 * g.groups:len(payload) & ~1],
+    flat = np.frombuffer(payload[off + 4 * nst:len(payload) & ~1],
                          "<u2")
-    R = 2 * K + 2 + g.wrows
+    R = (2 * K if g.nstates == 1 else K) + 2 + g.wrows
     if glens.max() > R * 128 or glens.min() < 256 or \
             glens.sum() != flat.size:
         raise ValueError("corrupt payload: group length table inconsistent")
     # compact host buffer (occupied rows + window slack only), per-group
     # contiguous copies; the worst-case R rows are re-padded on-device
     Rn = _round_rows(-(-int(glens.max()) // 128) + g.wrows, R)
-    gstreams = np.zeros((g.groups, Rn * 128), np.uint16)
+    gstreams = np.zeros((nst, Rn * 128), np.uint16)
     off = 0
-    for gi in range(g.groups):
+    for gi in range(nst):
         ln = int(glens[gi])
         gstreams[gi, :ln] = flat[off:off + ln]
         off += ln
     hi_tbl, lo_tbl = _cum_args(hi_q, lo_q)
-    dev = _pad_rows(jnp.asarray(gstreams.reshape(g.groups, Rn, 128)), R)
-    out, fstates = K_.decode_tile(dev, K, hi_tbl, lo_tbl, geom=g)
+    dev = _pad_rows(jnp.asarray(gstreams.reshape(nst, Rn, 128)), R)
+    if g.nstates == 2:
+        dev = dev.reshape(2, g.groups, R, 128)
+        out, fstates = K_.decode_tile_x2(dev, K, hi_tbl, lo_tbl, geom=g)
+    else:
+        out, fstates = K_.decode_tile(dev, K, hi_tbl, lo_tbl, geom=g)
     # un-stride + unmap ON DEVICE; only final uint8 bytes cross the link
     S = g.lanes // g.share
     flat_bytes = np.asarray(_post_decode(out, jnp.asarray(perm), K, S,

@@ -19,6 +19,14 @@ from __future__ import annotations
 import dataclasses
 import os
 
+# Grid steps per decode-window slide (implementation knob, not format).
+# Measured on v5e at the headline geometry: batching slides is a LOSS
+# (wsteps=8: 584 MB/s vs wsteps=1: 878) - the per-step unconditional
+# slide DMAs overlap with compute under the compiler's pipelining, and
+# a conditional slide breaks that overlap.  Default 1; knob kept for
+# future rigs.
+_WSTEPS = int(os.environ.get("TRC_WSTEPS", "1"))
+
 
 @dataclasses.dataclass(frozen=True)
 class Geom:
@@ -30,6 +38,9 @@ class Geom:
     lsync: int = 32    # bytes between cold-row re-joins
     arows: int = 16    # adaptive lo-table rows (>= arows are static)
     srows: int = 4     # lo rows re-joined at the fast cadence
+    nstates: int = 1   # rANS states per lane (2 = split hi/lo streams,
+    #                    halving the decode chain; reference analog: the
+    #                    4-way state interleave, anscdf_.h:97-103)
 
     def __post_init__(self):
         # The 4-byte container header encodes groups/chunk/share/sync/
@@ -54,6 +65,8 @@ class Geom:
                 "cold-row cadence must be a multiple of the grid-step chunk")
         if not 0 <= self.arows <= 16:
             raise ValueError("geometry arows must be in [0, 16]")
+        if self.nstates not in (1, 2):
+            raise ValueError("geometry nstates must be 1 or 2")
 
     # ---- derived (not independent format knobs)
     @property
@@ -65,12 +78,32 @@ class Geom:
         return self.groups * 128
 
     @property
-    def wrows(self) -> int:
-        return 2 * self.chunk + 8   # stream window rows per group
+    def rows_per_step(self) -> int:
+        """Worst-case stream rows one grid step can consume/emit per
+        stream (one word per lane per nibble; x2 splits nibbles over
+        two streams)."""
+        return 2 * self.chunk if self.nstates == 1 else self.chunk
 
     @property
-    def prows(self) -> int:
-        return 2 * self.chunk + 4   # placement window rows
+    def wsteps(self) -> int:
+        """Grid steps per stream-window slide / placement flush (DMA
+        batching; NOT format-relevant - windows are padding, the
+        payload stores only glens-truncated words)."""
+        return _WSTEPS
+
+    @property
+    def wrows(self) -> int:
+        return self.rows_per_step * self.wsteps + 8  # window rows/group
+
+    @property
+    def pwrows(self) -> int:
+        """Placement window rows: the encode-side accumulate loop is
+        O(pwrows) per slot, so the placement flush is NOT wsteps-batched
+        (unlike the decode window slide)."""
+        return self.rows_per_step + 4
+
+    # round-2/3 alias (placement rows before the decode-side batching)
+    prows = pwrows
 
     @property
     def hrows(self) -> int:
@@ -95,18 +128,19 @@ class Geom:
         l<lsync>a<arows>[r<srows>] (the sweep/CLI notation)."""
         import re
         m = re.fullmatch(
-            r"g(\d+)c(\d+)s(\d+)y(\d+)l(\d+)a(\d+)(?:r(\d+))?", spec)
+            r"g(\d+)c(\d+)s(\d+)y(\d+)l(\d+)a(\d+)(?:r(\d+))?(x2)?", spec)
         if not m:
             raise ValueError(f"bad geometry spec {spec!r}")
         g, c, s, y, l, a = map(int, m.groups()[:6])
         r = int(m.group(7)) if m.group(7) else 4
         return cls(groups=g, chunk=c, share=s, sync=y, lsync=l, arows=a,
-                   srows=r)
+                   srows=r, nstates=2 if m.group(8) else 1)
 
     @property
     def spec(self) -> str:
         return (f"g{self.groups}c{self.chunk}s{self.share}y{self.sync}"
-                f"l{self.lsync}a{self.arows}r{self.srows}")
+                f"l{self.lsync}a{self.arows}r{self.srows}"
+                + ("x2" if self.nstates == 2 else ""))
 
     # ---- container header wire format (4 bytes; format v3)
     WIRE_LEN = 4
@@ -115,7 +149,8 @@ class Geom:
         a = ((self.groups.bit_length() - 1)
              | ((self.chunk.bit_length() - 1) << 4))
         b = ((self.share.bit_length() - 1)
-             | ((self.sync.bit_length() - 1) << 3))
+             | ((self.sync.bit_length() - 1) << 3)
+             | ((self.nstates - 1) << 6))
         c = (self.lsync.bit_length() - 1) | (self.srows << 3)
         d = self.arows
         return bytes([a, b, c, d])
@@ -127,6 +162,7 @@ class Geom:
         a, b, c, d = raw
         return cls(groups=1 << (a & 15), chunk=1 << (a >> 4),
                    share=1 << (b & 7), sync=1 << ((b >> 3) & 7),
+                   nstates=1 + ((b >> 6) & 1),
                    lsync=1 << (c & 7), srows=c >> 3, arows=d)
 
 
@@ -137,7 +173,8 @@ def from_env() -> Geom:
                 share=int(os.environ.get("TRC_SHARE", "8")),
                 sync=int(os.environ.get("TRC_SYNC", "4")),
                 lsync=int(os.environ.get("TRC_LSYNC", "32")),
-                arows=int(os.environ.get("TRC_AROWS", "16")))
+                arows=int(os.environ.get("TRC_AROWS", "16")),
+                nstates=int(os.environ.get("TRC_NSTATES", "1")))
 
 
 DEFAULT = from_env()

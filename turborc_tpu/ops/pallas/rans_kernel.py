@@ -373,30 +373,42 @@ def _make_fetch(window, base_v, lane):
 def _make_decode_kernel(g: Geom):
     def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
                        states, cdf_hi, cdf_lo, start_lo, queue, window,
-                       pword, vq, sem):
+                       pword, vq, wbase, sem):
         """Queue-based decode: the next 256 unconsumed words of each
         group live in two register tiles (queue); the per-fetch word
         distribution is a 7-stage barrel gather (monotone rank
         distances) instead of a 128-way roll-select, and dequeue/refill
         are per-group-constant rotations.  The VMEM window keeps feeding
-        the queue one row at a time; it slides by DMA once per grid
-        step."""
+        the queue one row at a time; it slides by DMA once per WSTEPS
+        grid steps (the window covers WSTEPS steps of worst-case
+        consumption; per-group DMA issue cost is the batching target)."""
         gi = pl.program_id(0)
+        # interpret mode deadlocks on DMA waits under pl.when: slide
+        # every step there (correct for any W - the window just covers
+        # more than one step's consumption)
+        ws = 1 if INTERPRET else g.wsteps
 
         @pl.when(gi == 0)
         def _():
             for s in range(g.groups):
                 pword[s] = 0
 
-        # ---- slide the stream windows (base = current consumed row)
-        base_row = [pword[s] >> 7 for s in range(g.groups)]
-        copies = [pltpu.make_async_copy(
-            stream_ref.at[s, pl.ds(base_row[s], g.wrows), :],
-            window.at[s], sem.at[s]) for s in range(g.groups)]
-        for cp in copies:
-            cp.start()
-        for cp in copies:
-            cp.wait()
+        # ---- slide the stream windows (base = consumed row at slide)
+        def _slide():
+            for s in range(g.groups):
+                wbase[s] = pword[s] >> 7
+            copies = [pltpu.make_async_copy(
+                stream_ref.at[s, pl.ds(wbase[s], g.wrows), :],
+                window.at[s], sem.at[s]) for s in range(g.groups)]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+        if ws == 1:
+            _slide()
+        else:
+            pl.when(gi % ws == 0)(_slide)
 
         @pl.when(gi == 0)
         def _():
@@ -407,7 +419,8 @@ def _make_decode_kernel(g: Geom):
             queue[1] = window[:, 3, :]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (g.groups, GLANES), 1)
-        base_v = jnp.stack(base_row)[:, None]       # (G,1) window base row
+        base_v = jnp.stack([wbase[s]
+                            for s in range(g.groups)])[:, None]  # (G,1)
         # absolute queue-head position (the 2 flush-state rows count as
         # consumed, so the head starts at word 256 with rows 2-3 queued);
         # pword persists the head, which also drives the window DMA base
@@ -499,6 +512,184 @@ def _make_decode_kernel(g: Geom):
     return _decode_kernel
 
 
+# ---------------------------------------------------------------------------
+# split-state decode (geom.nstates == 2): two rANS states per lane, one
+# decoding hi nibbles and one lo nibbles, each with its own consumption-
+# order stream/queue/window.  The per-byte critical path drops from
+# (search+fetch) x2 to one search+fetch per chain - the chains run in
+# parallel, coupled only by the lo row select (needs the hi symbol) and
+# the shared adaptive model (state-independent, so no extra serialization).
+# Reference analog: the 4-way state interleave of anscdf_.h:97-103.
+# ---------------------------------------------------------------------------
+
+def _make_decode_kernel_x2(g: Geom):
+    def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
+                       states, cdf_hi, cdf_lo, start_lo, queue, window,
+                       pword, vq, wbase, sem):
+        gi = pl.program_id(0)
+        ws = 1 if INTERPRET else g.wsteps  # see o0 kernel note
+
+        @pl.when(gi == 0)
+        def _():
+            for si in range(2):
+                for s in range(g.groups):
+                    pword[si, s] = 0
+
+        # ---- slide both stream windows (base = consumed row at slide)
+        def _slide():
+            for si in range(2):
+                for s in range(g.groups):
+                    wbase[si, s] = pword[si, s] >> 7
+            copies = [pltpu.make_async_copy(
+                stream_ref.at[si, s, pl.ds(wbase[si, s], g.wrows), :],
+                window.at[si, s], sem.at[si, s])
+                for si in range(2) for s in range(g.groups)]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+        if ws == 1:
+            _slide()
+        else:
+            pl.when(gi % ws == 0)(_slide)
+
+        @pl.when(gi == 0)
+        def _():
+            for si in range(2):
+                states[si] = ((window[si, :, 0, :] << 16)
+                              | window[si, :, 1, :])
+                queue[si, 0] = window[si, :, 2, :]
+                queue[si, 1] = window[si, :, 3, :]
+            _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl, g.arows,
+                         start_lo if g.share > 1 else None)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g.groups, GLANES), 1)
+        base_v = [jnp.stack([wbase[si, s] for s in range(g.groups)])[:, None]
+                  for si in range(2)]
+        con = [jnp.stack([pword[si, s] for s in range(g.groups)])[:, None]
+               for si in range(2)]
+        con = [jnp.where(gi == 0, 256, c) for c in con]
+        vc = [jnp.stack([vq[si, s] for s in range(g.groups)])[:, None]
+              for si in range(2)]
+        vc = [jnp.where(gi == 0, 256, v) for v in vc]
+        q0h, q1h = queue[0, 0], queue[0, 1]
+        q0l, q1l = queue[1, 0], queue[1, 1]
+        st_h, st_l = states[0], states[1]
+        vch, vcl = vc[0], vc[1]
+        conh, conl = con[0], con[1]
+        hi_t = [cdf_hi[i] for i in range(16)]
+
+        fetch_h = _make_fetch(window.at[0], base_v[0], lane)
+        fetch_l = _make_fetch(window.at[1], base_v[1], lane)
+
+        start_hi = hi_t
+        for t in range(g.chunk):
+            # ---- hi nibble on its own state/stream
+            st_h, hi, low_h = _dec_search(st_h, hi_t)
+            st_h, q0h, q1h, vch, conh = fetch_h(st_h, q0h, q1h, vch, conh)
+            hi_t = _cdf_update(hi_t, low_h)
+
+            # ---- lo nibble on the second state/stream
+            hb = _idx_bits(hi)
+            row_t = [_select16(
+                [cdf_lo[h, i] if h < g.arows else lo_tbl[h, i]
+                 for h in range(16)], *hb)
+                for i in range(16)]
+            st_l, lo, low_l = _dec_search(st_l, row_t)
+            st_l, q0l, q1l, vcl, conl = fetch_l(st_l, q0l, q1l, vcl, conl)
+            new_row = _cdf_update(row_t, low_l)
+            for h in range(g.arows):
+                hit = hi == h
+                for i in range(16):
+                    cdf_lo[h, i] = jnp.where(hit, new_row[i],
+                                             cdf_lo[h, i])
+
+            out_ref[t] = (hi << 4) | lo
+
+            if g.share > 1 and t % g.sync == g.sync - 1:
+                d = [_set_sum(hi_t[i] - start_hi[i], lane, g.share)
+                     for i in range(16)]
+                hi_t = _clamp16(_repair16([start_hi[i] + d[i]
+                                           for i in range(16)]))
+                start_hi = hi_t
+                _rejoin_rows(cdf_lo, start_lo, lane, range(g.hrows),
+                             g.share)
+
+        if g.share > 1 and g.arows > g.srows:
+            @pl.when((gi + 1) % g.lsync_steps == 0)
+            def _():
+                _rejoin_rows(cdf_lo, start_lo, lane,
+                             range(g.srows, g.arows), g.share)
+
+        # ---- persist carry state per stream
+        states[0] = st_h
+        states[1] = st_l
+        fstate_ref[0] = st_h
+        fstate_ref[1] = st_l
+        queue[0, 0] = q0h
+        queue[0, 1] = q1h
+        queue[1, 0] = q0l
+        queue[1, 1] = q1l
+        for i in range(16):
+            cdf_hi[i] = hi_t[i]
+        for s in range(g.groups):
+            pword[0, s] = conh[s, 0]
+            pword[1, s] = conl[s, 0]
+            vq[0, s] = vch[s, 0]
+            vq[1, s] = vcl[s, 0]
+
+    return _decode_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("K", "geom"))
+def decode_tile_x2(gstreams: jnp.ndarray, K: int,
+                   hi_tbl: jnp.ndarray | None = None,
+                   lo_tbl: jnp.ndarray | None = None,
+                   geom: Geom = DEFAULT):
+    """gstreams [2, GROUPS, R, GLANES] int32 (hi-state streams first) ->
+    (bytes [K, GROUPS, GLANES], final_states [2, GROUPS, GLANES])."""
+    g = geom
+    assert K % g.chunk == 0 and g.nstates == 2
+    if hi_tbl is None:
+        hi_tbl, lo_tbl = _default_tables(g)
+    hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl, g)
+    grid = K // g.chunk
+    return pl.pallas_call(
+        _make_decode_kernel_x2(g),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((16, g.groups, GLANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16, g.groups, GLANES),
+                         lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((g.chunk, g.groups, GLANES),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((2, g.groups, GLANES), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((K, g.groups, GLANES), jnp.int32),
+                   jax.ShapeDtypeStruct((2, g.groups, GLANES), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, g.groups, GLANES), jnp.int32),       # states
+            pltpu.VMEM((16, g.groups, GLANES), jnp.int32),      # cdf_hi
+            pltpu.VMEM((g.crows, 16, g.groups, GLANES), jnp.int32),
+            pltpu.VMEM((g.crows, 16, g.groups, GLANES), jnp.int32),
+            pltpu.VMEM((2, 2, g.groups, GLANES), jnp.int32),    # queues
+            pltpu.VMEM((2, g.groups, g.wrows, GLANES), jnp.int32),
+            pltpu.SMEM((2, g.groups), jnp.int32),               # pword
+            pltpu.SMEM((2, g.groups), jnp.int32),               # vq
+            pltpu.SMEM((2, g.groups), jnp.int32),               # wbase
+            pltpu.SemaphoreType.DMA((2, g.groups)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(hi_b, lo_b, gstreams)
+
+
 @functools.partial(jax.jit, static_argnames=("K", "geom"))
 def decode_tile(gstreams: jnp.ndarray, K: int,
                 hi_tbl: jnp.ndarray | None = None,
@@ -543,6 +734,7 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
             pltpu.VMEM((g.groups, g.wrows, GLANES), jnp.int32),  # window
             pltpu.SMEM((g.groups,), jnp.int32),                 # pword
             pltpu.SMEM((g.groups,), jnp.int32),                 # vq
+            pltpu.SMEM((g.groups,), jnp.int32),                 # wbase
             pltpu.SemaphoreType.DMA((g.groups,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -639,7 +831,7 @@ def _exact_div(state, freq):
     return q
 
 
-def _make_coder_kernel(chunk: int):
+def _make_coder_kernel(steps: int):
     def _coder_kernel(init_ref, probs_ref, words_ref, emit_ref, stout_ref,
                       states):
         """Backward coding pass over one reversed chunk of nibble slots.
@@ -652,7 +844,7 @@ def _make_coder_kernel(chunk: int):
             states[:, :] = init_ref[:, :]
 
         state = states[:, :]
-        for t in range(2 * chunk - 1, -1, -1):
+        for t in range(steps - 1, -1, -1):
             pr = probs_ref[t]
             low = pr >> 16
             freq = pr & 0xFFFF
@@ -682,7 +874,9 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
     if hi_tbl is None:
         hi_tbl, lo_tbl = _default_tables(g)
     if init_states is None:
-        init_states = jnp.full((g.groups, GLANES), ANS_LOW, jnp.int32)
+        shp = (g.groups, GLANES) if g.nstates == 1 else (2, g.groups,
+                                                         GLANES)
+        init_states = jnp.full(shp, ANS_LOW, jnp.int32)
     hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl, g)
     cols = block.T.reshape(K, g.groups, GLANES)
     probs = pl.pallas_call(
@@ -711,28 +905,43 @@ def encode_tile_pallas(block: jnp.ndarray, K: int,
         interpret=INTERPRET,
     )(hi_b, lo_b, cols)
 
+    if g.nstates == 2:
+        # split-state: hi slots (even) coded by state 0, lo (odd) by
+        # state 1, each into its own consumption-order stream set
+        gs_h, gl_h = coder_and_place(probs[0::2], init_states[0], K,
+                                     geom=geom, steps=g.chunk)
+        gs_l, gl_l = coder_and_place(probs[1::2], init_states[1], K,
+                                     geom=geom, steps=g.chunk)
+        return jnp.stack([gs_h, gs_l]), jnp.stack([gl_h, gl_l])
     return coder_and_place(probs, init_states, K, geom=geom)
 
 
-def coder_and_place(probs, init_states, K: int, geom: Geom = DEFAULT):
-    """Backward coding pass + placement over a [2K, G, 128] probs tensor
-    (shared by the o0 and o1 encode pipelines)."""
+def coder_and_place(probs, init_states, K: int, geom: Geom = DEFAULT,
+                    steps: int | None = None):
+    """Backward coding pass + placement over an [S, G, 128] probs tensor
+    (shared by the o0 and o1 encode pipelines).  S = steps * (K/chunk)
+    slots; steps defaults to 2*chunk (both nibbles on one state), the
+    split-state pipelines pass steps=chunk per stream."""
     g = geom
     n = K // g.chunk
+    if steps is None:
+        steps = 2 * g.chunk
+    S = probs.shape[0]
+    assert S == n * steps
     words, emit, state = pl.pallas_call(
-        _make_coder_kernel(g.chunk),
+        _make_coder_kernel(steps),
         grid=(n,),
         in_specs=[pl.BlockSpec((g.groups, GLANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((2 * g.chunk, g.groups, GLANES),
+                  pl.BlockSpec((steps, g.groups, GLANES),
                                lambda i: (n - 1 - i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((2 * g.chunk, g.groups, GLANES),
+        out_specs=[pl.BlockSpec((steps, g.groups, GLANES),
                                 lambda i: (n - 1 - i, 0, 0),
                                 memory_space=pltpu.VMEM)] * 2 + [
             pl.BlockSpec((g.groups, GLANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((2 * K, g.groups, GLANES),
+        out_shape=[jax.ShapeDtypeStruct((S, g.groups, GLANES),
                                         jnp.int32)]
         * 2 + [jax.ShapeDtypeStruct((g.groups, GLANES), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((g.groups, GLANES), jnp.int32)],
@@ -740,7 +949,7 @@ def coder_and_place(probs, init_states, K: int, geom: Geom = DEFAULT):
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=INTERPRET,
     )(init_states, probs)
-    return place_tile(words, emit, state, K, geom=geom)
+    return place_tile(words, emit, state, K, geom=geom, steps=steps)
 
 
 # ---------------------------------------------------------------------------
@@ -756,13 +965,13 @@ def coder_and_place(probs, init_states, K: int, geom: Geom = DEFAULT):
 # ---------------------------------------------------------------------------
 
 
-def _make_place_kernel(g: Geom):
+def _make_place_kernel(g: Geom, steps: int):
     def _place_kernel(words_ref, emit_ref, out_ref, acc, pword, prow, sem):
         gi = pl.program_id(0)
 
         @pl.when(gi == 0)
         def _():
-            acc[:, :, :] = jnp.zeros((g.groups, g.prows, GLANES), jnp.int32)
+            acc[:, :, :] = jnp.zeros((g.groups, g.pwrows, GLANES), jnp.int32)
             for s in range(g.groups):
                 pword[s] = 256  # data starts after the 2 flush-state rows
                 prow[s] = 0
@@ -772,7 +981,7 @@ def _make_place_kernel(g: Geom):
                        for s in range(g.groups)])[:, None]
         lane = jax.lax.broadcasted_iota(jnp.int32, (g.groups, GLANES), 1)
 
-        for t in range(2 * g.chunk):
+        for t in range(steps):
             need = emit_ref[t] != 0
             w = jnp.where(need, words_ref[t], 0)
             needi = need.astype(jnp.int32)
@@ -787,31 +996,29 @@ def _make_place_kernel(g: Geom):
             c0 = jnp.where((lane >= p127) & (lane < end), rs, 0)
             c1 = jnp.where(lane < end - 128, rs, 0)
             r_lo = p >> 7                  # (GROUPS, 1) scalar row per group
-            for rr in range(g.prows):
+            for rr in range(g.pwrows):
                 sel0 = (r_lo == rr).astype(jnp.int32)
                 sel1 = (r_lo + 1 == rr).astype(jnp.int32)
                 acc[:, rr, :] = acc[:, rr, :] + sel0 * c0 + sel1 * c1
             p = p + cnt
 
         # flush the window to HBM at each group's base row (overlapping
-        # rewrites: the partial tail is rewritten complete by later steps)
+        # rewrites: the partial tail is rewritten complete by later
+        # steps).  After the flush only the partial head row survives
+        # (remaining words = p % 128 < 128): one log-depth dynamic row
+        # select, everything above it zeroed.
         copies = [pltpu.make_async_copy(
-            acc.at[s], out_ref.at[s, pl.ds(prow[s], g.prows), :], sem.at[s])
-            for s in range(g.groups)]
+            acc.at[s], out_ref.at[s, pl.ds(prow[s], g.pwrows), :],
+            sem.at[s]) for s in range(g.groups)]
         for cp in copies:
             cp.start()
         for cp in copies:
             cp.wait()
-        # shift the accumulator down by the completed rows
         shift = p >> 7                         # (GROUPS, 1)
-        sh = shift[:, :, None]
-        rows = jax.lax.broadcasted_iota(jnp.int32,
-                                        (g.groups, g.prows, GLANES), 1)
-        shifted = jnp.zeros((g.groups, g.prows, GLANES), jnp.int32)
-        for v in range(g.prows):
-            shifted = shifted + jnp.where(
-                rows + sh == v, acc[:, v, :][:, None, :], 0)
-        acc[:, :, :] = shifted
+        head = _select_dyn([acc[:, v, :] for v in range(g.pwrows)],
+                           shift)
+        acc[:, :, :] = jnp.zeros((g.groups, g.pwrows, GLANES), jnp.int32)
+        acc[:, 0, :] = head
         for s in range(g.groups):
             prow[s] = prow[s] + shift[s, 0]
             pword[s] = prow[s] * 128 + (p[s, 0] - shift[s, 0] * 128)
@@ -819,25 +1026,28 @@ def _make_place_kernel(g: Geom):
     return _place_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("K", "geom"))
+@functools.partial(jax.jit, static_argnames=("K", "geom", "steps"))
 def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
-               K: int, geom: Geom = DEFAULT):
-    """words/emit [2K, GROUPS, GLANES], state [GROUPS, GLANES] ->
+               K: int, geom: Geom = DEFAULT, steps: int | None = None):
+    """words/emit [S, GROUPS, GLANES], state [GROUPS, GLANES] ->
     (gstreams [GROUPS, R, GLANES], glens [GROUPS])."""
     g = geom
-    S = 2 * K
+    if steps is None:
+        steps = 2 * g.chunk
+    S = words.shape[0]
     R = S + 2 + g.wrows
     n = K // g.chunk
+    assert S == n * steps
     out = pl.pallas_call(
-        _make_place_kernel(g),
+        _make_place_kernel(g, steps),
         grid=(n,),
-        in_specs=[pl.BlockSpec((2 * g.chunk, g.groups, GLANES),
+        in_specs=[pl.BlockSpec((steps, g.groups, GLANES),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((g.groups, R, GLANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((g.groups, g.prows, GLANES), jnp.int32),  # acc
+            pltpu.VMEM((g.groups, g.pwrows, GLANES), jnp.int32),  # acc
             pltpu.SMEM((g.groups,), jnp.int32),                  # pword
             pltpu.SMEM((g.groups,), jnp.int32),                  # prow
             pltpu.SemaphoreType.DMA((g.groups,)),
@@ -905,6 +1115,20 @@ def encode_tile(block: jnp.ndarray, K: int,
 
     _, probs = jax.lax.scan(fwd, (hi0, lo0), chunks)
     probs = probs.reshape(2 * K, 2, L)
+    if g.nstates == 2:
+        outs = []
+        for si in range(2):
+            init = (None if init_states is None
+                    else init_states[si].reshape(L))
+            w, e, st = rans.encode_backward(probs[si::2, 0],
+                                            probs[si::2, 1],
+                                            init_state=init)
+            outs.append(_group_stitch(
+                w.astype(jnp.int32).reshape(K, g.groups, GLANES),
+                e.reshape(K, g.groups, GLANES),
+                st.reshape(g.groups, GLANES), g))
+        return (jnp.stack([outs[0][0], outs[1][0]]),
+                jnp.stack([outs[0][1], outs[1][1]]))
     init = None if init_states is None else init_states.reshape(L)
     words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1],
                                               init_state=init)

@@ -124,22 +124,31 @@ def _code_lo_row(cdf_lo, prev, hb, hi):
 def _make_decode_kernel(g: Geom):
     def _decode_kernel(hi_tbl, lo_tbl, stream_ref, out_ref, fstate_ref,
                        states, cdf_hi, cdf_lo, prevs, queue, window,
-                       pword, vq, sem):
+                       pword, vq, wbase, sem):
         gi = pl.program_id(0)
+        ws = 1 if INTERPRET else g.wsteps  # see o0 kernel note
 
         @pl.when(gi == 0)
         def _():
             for s in range(g.groups):
                 pword[s] = 0
 
-        base_row = [pword[s] >> 7 for s in range(g.groups)]
-        copies = [pltpu.make_async_copy(
-            stream_ref.at[s, pl.ds(base_row[s], g.wrows), :],
-            window.at[s], sem.at[s]) for s in range(g.groups)]
-        for cp in copies:
-            cp.start()
-        for cp in copies:
-            cp.wait()
+        # slide once per WSTEPS grid steps (DMA-issue batching, see o0)
+        def _slide():
+            for s in range(g.groups):
+                wbase[s] = pword[s] >> 7
+            copies = [pltpu.make_async_copy(
+                stream_ref.at[s, pl.ds(wbase[s], g.wrows), :],
+                window.at[s], sem.at[s]) for s in range(g.groups)]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+        if ws == 1:
+            _slide()
+        else:
+            pl.when(gi % ws == 0)(_slide)
 
         @pl.when(gi == 0)
         def _():
@@ -150,7 +159,8 @@ def _make_decode_kernel(g: Geom):
             prevs[:, :] = jnp.zeros((g.groups, GLANES), jnp.int32)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (g.groups, GLANES), 1)
-        base_v = jnp.stack(base_row)[:, None]
+        base_v = jnp.stack([wbase[s]
+                            for s in range(g.groups)])[:, None]
         consumed = jnp.stack([pword[s] for s in range(g.groups)])[:, None]
         consumed = jnp.where(gi == 0, 256, consumed)
         vcnt = jnp.stack([vq[s] for s in range(g.groups)])[:, None]
@@ -240,6 +250,7 @@ def decode_tile(gstreams: jnp.ndarray, K: int, hi_tbl: jnp.ndarray,
             pltpu.VMEM((g.groups, g.wrows, GLANES), jnp.int32),   # window
             pltpu.SMEM((g.groups,), jnp.int32),                   # pword
             pltpu.SMEM((g.groups,), jnp.int32),                   # vq
+            pltpu.SMEM((g.groups,), jnp.int32),                   # wbase
             pltpu.SemaphoreType.DMA((g.groups,)),
         ],
         compiler_params=pltpu.CompilerParams(
