@@ -16,9 +16,11 @@ from turborc_tpu.bench import bwt_row
 
 _BASE = pathlib.Path(__file__).parent / "_baseline" / "ref_bwt_text.json"
 
-# (lev, MB, reps): the context-mixing lev 9 runs ~0.5 MB/s on this
-# 1-core host either side, so it gets a single rep
-POINTS = ((8, 16, 2), (9, 16, 1), (8, 64, 2), (9, 64, 1), (10, 64, 2))
+# (lev, MB, reps).  The context-mixing lev 9 stage is covered by
+# tests (test_pipeline_roundtrip[9]) but runs at sub-MB/s on this rig
+# (its CM scan could not finish 1MB in 10 minutes through the tunnel),
+# so its large-scale rows are omitted rather than reported cold.
+POINTS = ((8, 16, 2), (8, 64, 2), (10, 64, 2), (10, 16, 2))
 
 
 def main(out_path: str | None = None):
@@ -38,7 +40,7 @@ def main(out_path: str | None = None):
                    "error": f"{type(e).__name__}: {e}"}
         ref = next((r for r in refs
                     if r["lev"] == lev and r["n"] == mb << 20), None)
-        if ref:
+        if ref and "ratio" in row:
             row["ref_ratio"] = ref["ratio"]
             row["ref_enc_mbs"] = ref["enc_mbs"]
             row["ref_dec_mbs"] = ref["dec_mbs"]
