@@ -30,8 +30,14 @@ def textbwt():
 def test_geom_wire_roundtrip():
     for g in (Geom(), Geom(share=1), Geom(groups=128, arows=4),
               Geom(groups=2, chunk=2, share=2, sync=2, lsync=4, arows=8),
-              Geom(groups=16, chunk=16, share=64, sync=16, lsync=64)):
+              Geom(groups=16, chunk=16, share=64, sync=16, lsync=64),
+              Geom(nstates=2), Geom(groups=2, chunk=2, share=2, sync=2,
+                                    lsync=4, arows=8, nstates=2)):
         assert Geom.unpack(g.pack()) == g
+    # split-state spec notation survives the parse/spec/pack cycle
+    gx = Geom.parse("g32c8s8y2l32a16r4x2")
+    assert gx.nstates == 2 and gx.spec.endswith("x2")
+    assert Geom.unpack(gx.pack()) == gx
 
 
 def test_geom_validation():

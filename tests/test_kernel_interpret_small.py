@@ -61,6 +61,49 @@ print("interpret o1 kernel roundtrip ok", len(pay_xla))
 """
 
 
+_SCRIPT_X2 = r"""
+import numpy as np
+from turborc_tpu.ops.pallas import rans_kernel as K_
+from turborc_tpu.ops.pallas.geom import DEFAULT
+from turborc_tpu.codecs import rans_pallas as RP
+
+assert K_.GROUPS == 2 and K_.CHUNK == 2 and K_.INTERPRET
+g = DEFAULT
+assert g.nstates == 2
+rng = np.random.default_rng(13)
+K = 3 * K_.CHUNK
+n = g.lanes * K - 5   # unaligned: tail ride + seed-byte path
+# runny + skewed bytes (renorm traffic on both split streams)
+a = rng.choice(12, 2 * n, p=np.r_[0.4, np.full(11, 0.6 / 11)])
+data = (np.repeat(a, rng.integers(1, 4, a.size))[:n] + 97).astype(np.uint8)
+
+# x2 doubles the seed prefix (one per rANS state per lane); the carry of
+# those seed bytes into the kernel region is covered by the unaligned n
+from turborc_tpu.codecs.rans_pallas import _seed_bytes
+assert _seed_bytes(g) == 2 * _seed_bytes(
+    __import__("dataclasses").replace(g, nstates=1))
+
+pay = RP.encode_block(data, use_pallas_encoder=False, geom=g)
+out = RP.decode_block(pay, n, geom=g)
+assert np.array_equal(out, data), "x2 decode-kernel roundtrip"
+print("interpret x2 kernel roundtrip ok", len(pay))
+"""
+
+
+def test_x2_kernel_interpret_roundtrip():
+    # split-state (nstates=2) wire format: header bit 6, doubled glens
+    # table and seed bytes, decode_tile_x2 (ADVICE r04: bench-only paths
+    # shipped format regressions unnoticed)
+    env = dict(os.environ)
+    env.update(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SYNC="2", TRC_LSYNC="4",
+               TRC_NSTATES="2", TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", _SCRIPT_X2], env=env,
+                       capture_output=True, text=True, timeout=3600,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, f"STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}"
+    assert "interpret x2 kernel roundtrip ok" in r.stdout
+
+
 def test_o1_kernel_interpret_roundtrip():
     env = dict(os.environ)
     env.update(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SYNC="2", TRC_LSYNC="4",

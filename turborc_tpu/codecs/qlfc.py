@@ -191,15 +191,17 @@ def _substage(sub: int | None):
 _PAD_COLS = 128
 
 
-def _padded_m(m: int, sub: int, g) -> int:
+def _padded_m(m: int, sub: int, g, ver: int = 2) -> int:
     lanes = (g.groups * 128) if sub == 0 else _s8_lanes(m)
     q = lanes * _PAD_COLS
     units = max(-(-m // q), 1)
-    # geometric grid: round the quantum count up to 3 significant bits
-    # (<= 4 distinct K per octave, <= 12.5% padding at ~0.03 bits/symbol)
-    # so segmented 64MB inputs hit a handful of kernel-compile variants
-    # instead of one per chunk
-    if units > 4:
+    # ver >= 2: geometric grid - round the quantum count up to 3
+    # significant bits (<= 4 distinct K per octave, <= 12.5% padding at
+    # ~0.03 bits/symbol) so segmented 64MB inputs hit a handful of
+    # kernel-compile variants instead of one per chunk.  ver 1 payloads
+    # (round-4 early) used the raw quantum count; the header version
+    # picks the derivation so both generations decode (ADVICE r04).
+    if ver >= 2 and units > 4:
         sh = units.bit_length() - 3
         units = -(-units >> sh) << sh
     return units * q
@@ -243,7 +245,7 @@ def encode_block2(data: np.ndarray, geom=None, sub: int | None = None,
     mp = _padded_m(m, sub, g)
     rank_pay = _sub_encode(sub, np.pad(ranks[ro], (0, mp - m)), g)
     run_pay = _sub_encode(sub, np.pad(run_bytes, (0, mp - m)), g)
-    head = struct.pack("<QBB", m, 1, sub) + g.pack() + init_list.tobytes()
+    head = struct.pack("<QBB", m, 2, sub) + g.pack() + init_list.tobytes()
     head += _varints(rank_counts) + _varints(run_counts)
     head += struct.pack("<I", big.shape[0]) + big.tobytes()
     head += struct.pack("<I", len(rank_pay))
@@ -255,7 +257,7 @@ def decode_block2(payload: bytes, n: int, **_unused) -> np.ndarray:
     if len(payload) < 10 + 4 + 256:
         raise ValueError("corrupt payload: truncated qlfc2 header")
     m, ver, sub = struct.unpack_from("<QBB", payload)
-    if ver != 1 or sub > 1:
+    if ver not in (1, 2) or sub > 1:
         raise ValueError("corrupt payload: bad qlfc2 version")
     try:
         g = Geom.unpack(payload[10:14])
@@ -278,7 +280,7 @@ def decode_block2(payload: bytes, n: int, **_unused) -> np.ndarray:
     off += 4
     if off + rank_len > len(payload):
         raise ValueError("corrupt payload: qlfc2 rank payload bounds")
-    mp = _padded_m(m, sub, g)
+    mp = _padded_m(m, sub, g, ver=ver)
     sranks = _sub_decode(sub, payload[off:off + rank_len], mp, g)[:m]
     run_bytes = _sub_decode(sub, payload[off + rank_len:], mp, g)[:m]
     sruns = run_bytes.astype(np.int64)

@@ -123,15 +123,16 @@ def _share1(geom):
 
 
 def _r1_geom(n: int, geom):
-    """The o1-optimal geometry for an n-byte block (None = keep the
-    caller's geometry: an explicit --geom wins over the auto pick)."""
-    from turborc_tpu.ops.pallas.geom import DEFAULT, Geom
-    if geom is not None and geom != DEFAULT:
+    """The o1-optimal geometry for an n-byte block, or None to keep the
+    caller's geometry.  Any geometry the caller actually passed wins
+    over the auto pick - including one equal to the env DEFAULT, which a
+    caller can only reach by asking for it explicitly (ADVICE r04)."""
+    from turborc_tpu.ops.pallas.geom import Geom
+    if geom is not None:
         return None
     for floor, spec in _R1_SPECS:
         if n >= floor:
-            g = Geom.parse(spec)
-            return None if geom == g else g
+            return Geom.parse(spec)
     return None
 
 

@@ -50,6 +50,10 @@ def _cum_args(hi_q: np.ndarray, lo_q: np.ndarray):
 def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
                  geom: Geom | None = None, **_unused) -> bytes:
     g = geom or DEFAULT
+    if g.nstates != 1:
+        raise ValueError(
+            "the o1 pipeline has no split-state (x2) format: "
+            f"geometry {g.spec} requires nstates=1")
     n = data.shape[0]
     perm = _rank_perm(data) if n else np.arange(256, dtype=np.uint8)
     inv = np.zeros(256, np.uint8)
@@ -79,6 +83,10 @@ def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
 def decode_block(payload: bytes, n: int, geom: Geom | None = None,
                  **_unused) -> np.ndarray:
     g = geom or DEFAULT
+    if g.nstates != 1:
+        raise ValueError(
+            "the o1 pipeline has no split-state (x2) format: "
+            f"geometry {g.spec} requires nstates=1")
     s_len = min(n, _seed_bytes(g))
     K = _K_for(n - s_len, g)
     if len(payload) < 256 + 4 + R1.N_ENTRIES:

@@ -45,6 +45,10 @@ def _shape_lanes(data: np.ndarray, K: int, g: Geom) -> np.ndarray:
 def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
                  geom: Geom | None = None, **_unused) -> bytes:
     g = geom or DEFAULT
+    if g.nstates != 1:
+        raise ValueError(
+            "the bittree pipeline has no split-state (x2) format: "
+            f"geometry {g.spec} requires nstates=1")
     init_states, span_data, _ = _P._split_seed(data, g)
     K = _K_for(span_data.shape[0], g)
     block = _shape_lanes(span_data, K, g)
@@ -64,6 +68,10 @@ def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
 def decode_block(payload: bytes, n: int, geom: Geom | None = None,
                  **_unused) -> np.ndarray:
     g = geom or DEFAULT
+    if g.nstates != 1:
+        raise ValueError(
+            "the bittree pipeline has no split-state (x2) format: "
+            f"geometry {g.spec} requires nstates=1")
     s_len = min(n, _P._seed_bytes(g))
     K = _K_for(n - s_len, g)
     if len(payload) < 510 + 4 * g.groups:

@@ -116,14 +116,20 @@ def _lazy_init():
     register(14, "rcrle1", rle.encode_block_o1, rle.decode_block_o1,
              "RLE + order-1 literals + run-history-context runs "
              "(ref rcrle1 id 14, rc_.c:928-988)")
+    register(63, "rcrle-16", rle.encode_block16, rle.decode_block16,
+             "16-bit-symbol RLE: hi/lo|hi literal trees + hi-keyed "
+             "gamma runs (ref rcrle enc16/dec16, rc_.c:880-920)")
+    register(67, "rcrle1-16", rle.encode_block16_o1, rle.decode_block16_o1,
+             "16-bit-symbol RLE: order-1 hi tree + run-history-bucket "
+             "runs (ref rcrle1 16-bit, rc_.c:966-988)")
     from turborc_tpu.codecs import rans_nibble
-    register(40, "rc4", rans_nibble.encode_block, rans_nibble.decode_block,
+    register(41, "rc4", rans_nibble.encode_block, rans_nibble.decode_block,
              "adaptive 4-bit symbol codec, per-lane CDF16 "
-             "(ref rc4 id 40, rc_.c:141-163)")
-    register(41, "rc4c", rans_nibble.encode_block_static,
+             "(ref rc4 id 41, rc_.c:141-163)")
+    register(40, "rc4c", rans_nibble.encode_block_static,
              rans_nibble.decode_block_static,
              "static 4-bit symbol codec, shared block CDF16 "
-             "(ref rc4c id 41 / ans static nibble id 65)")
+             "(ref rc4c id 40 / ans static nibble id 65)")
     for kind, base_id, name in (("gamma", 26, "rcg"), ("rice", 28, "rcr"),
                                 ("vlc", 30, "rcv")):
         for esize, suffix, off in ((1, "-8", 0), (2, "-16", 50),

@@ -183,3 +183,159 @@ def make_block_api(order1: bool = False):
 
 encode_block, decode_block = make_block_api(order1=False)
 encode_block_o1, decode_block_o1 = make_block_api(order1=True)
+
+
+# ---------------------------------------------------------------------------
+# 16-bit symbol variants (reference rcrle/rcrle1 enc16/dec16,
+# rc_.c:880-988): run heads are u16 elements, coded hi byte then lo byte
+# (lo tree keyed by hi, the reference's mb0[cx]); run lengths are
+# gamma-coded under a hi-byte context (rcrle-16) or a run-history EMA
+# bucket per hi byte (rcrle1-16; the reference keys its zero-flag by the
+# full u16 symbol, 1<<16 models - per-lane tables that wide exceed HBM,
+# so the hi byte carries the context role here).
+# ---------------------------------------------------------------------------
+
+_N16_LO = 256 * 256
+
+
+def _models16(L, order1: bool):
+    if order1:
+        # hi|prev-hi trees, lo|hi trees, runs by history bucket
+        n = 256 * 256 + _N16_LO + _NHIST * _NGAMMA
+    else:
+        # hi tree, lo|hi trees, runs by hi byte
+        n = 256 + _N16_LO + 256 * _NGAMMA
+    return slotted.ModelTable(L, n)
+
+
+def _lit16_offs(order1: bool):
+    lo_base = 256 * 256 if order1 else 256
+    return lo_base, lo_base + _N16_LO
+
+
+def _run16_model(m, hist, hi, run_base, order1):
+    if not order1:
+        return _OffsetModel(m, run_base + hi * _NGAMMA), None
+    ema = jnp.take_along_axis(hist, hi[:, None], axis=1)[:, 0]
+    return _OffsetModel(m, run_base + _hist_bucket(ema) * _NGAMMA), ema
+
+
+@functools.partial(jax.jit, static_argnames=("K", "order1"))
+def encode_device16(block: jnp.ndarray, K: int, order1: bool = False):
+    L = block.shape[0]
+    cols = block.T  # [K, L] u16 elements as int32
+    eq = jnp.concatenate([cols[1:] == cols[:-1],
+                          jnp.zeros((1, L), jnp.bool_)], 0)
+
+    def rscan(nxt, e):
+        cur = jnp.where(e, nxt + 1, 0)
+        return cur, cur
+
+    _, runs = jax.lax.scan(rscan, jnp.zeros((L,), jnp.int32), eq,
+                           reverse=True)
+    lo_base, run_base = _lit16_offs(order1)
+
+    def body(carry, inp):
+        t, prev, skip, hist = carry
+        b, r = inp
+        m = slotted.ModelTable.from_state(t)
+        rec = slotted.Recorder()
+        act = skip == 0
+        hi, lo = b >> 8, b & 0xFF
+        hi_m = (_OffsetModel(m, (jnp.maximum(prev, 0) >> 8) * 256)
+                if order1 else m)
+        _code_literal(rec, hi_m, hi, act)
+        _code_literal(rec, _OffsetModel(m, lo_base + hi * 256), lo, act)
+        rep = act & (b == prev)
+        rm, ema = _run16_model(m, hist, hi, run_base, order1)
+        _gamma_enc(rec, rm, jnp.where(rep, r, 0), RUN_W, active=rep)
+        if order1:
+            new_ema = (3 * ema + r) >> 2
+            hist = hist.at[jnp.arange(L, dtype=jnp.int32), hi].set(
+                jnp.where(rep, new_ema, ema))
+        skip = jnp.where(act, jnp.where(rep, r, 0), skip - 1)
+        prev = jnp.where(act, b, prev)
+        return (m.t, prev, skip, hist), rec.slots()
+
+    init = (_models16(L, order1).t, jnp.full((L,), -1, jnp.int32),
+            jnp.zeros((L,), jnp.int32), jnp.zeros((L, 256), jnp.int32))
+    _, (probs, bits, valids) = jax.lax.scan(body, init, (cols, runs))
+    S = probs.shape[0] * probs.shape[1]
+    lows, freqs = binary.to_low_freq(probs.reshape(S, L),
+                                     bits.reshape(S, L))
+    words, emit, st = rans.encode_backward(lows, freqs, valids.reshape(S, L))
+    return rans.stitch(words, emit, st)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "order1"))
+def decode_device16(streams: jnp.ndarray, K: int, order1: bool = False):
+    L = streams.shape[0]
+    state, pos = rans.dec_init(streams)
+    like = jnp.zeros((L,), jnp.int32)
+    lo_base, run_base = _lit16_offs(order1)
+
+    def body(carry, _):
+        t, prev, skip, hist, cur, state, pos = carry
+        m = slotted.ModelTable.from_state(t)
+        dec = slotted.Decoder(state, pos, streams)
+        act = skip == 0
+        hi_m = (_OffsetModel(m, (jnp.maximum(prev, 0) >> 8) * 256)
+                if order1 else m)
+        hi = _dec_literal(dec, hi_m, act, like)
+        lo = _dec_literal(dec, _OffsetModel(m, lo_base + hi * 256), act,
+                          like)
+        elem = (hi << 8) | lo
+        out = jnp.where(act, elem, cur)
+        rep = act & (elem == prev)
+        rm, ema = _run16_model(m, hist, hi, run_base, order1)
+        r = _gamma_dec(dec, rm, RUN_W, like, active=rep)
+        if order1:
+            new_ema = (3 * ema + r) >> 2
+            hist = hist.at[jnp.arange(L, dtype=jnp.int32), hi].set(
+                jnp.where(rep, new_ema, ema))
+        skip = jnp.where(act, jnp.where(rep, r, 0), skip - 1)
+        prev = jnp.where(act, elem, prev)
+        state, pos = dec.carry()
+        return (m.t, prev, skip, hist, out, state, pos), out
+
+    init = (_models16(L, order1).t, jnp.full((L,), -1, jnp.int32),
+            jnp.zeros((L,), jnp.int32), jnp.zeros((L, 256), jnp.int32),
+            jnp.zeros((L,), jnp.int32), state, pos)
+    _, vals = jax.lax.scan(body, init, None, length=K)
+    return vals.T
+
+
+def make_block_api16(order1: bool = False):
+    # wide per-lane tables (o0-16: ~120k models/lane): clamp lanes so the
+    # table stays ~60 MB HBM (same discipline as rcc2, rc_bit.py:203)
+    _MAXL = 128
+
+    def encode_block16(data: np.ndarray, lanes: int = 128,
+                       step_quant: int = 64, **_unused) -> bytes:
+        lanes = min(lanes, _MAXL)
+        elems = np.zeros(-(-data.shape[0] // 2) * 2, np.uint8)
+        elems[:data.shape[0]] = data
+        elems = elems.view("<u2").astype(np.int32)
+        block, K = blockio.shape_block_elems(elems, lanes, step_quant)
+        if K > (1 << RUN_W):
+            raise ValueError("rle16: K exceeds run-length gamma range")
+        import jax.numpy as _jnp
+        streams, lengths = encode_device16(_jnp.asarray(block), K, order1)
+        return blockio.pack_device(streams, lengths)
+
+    def decode_block16(payload: bytes, n: int, lanes: int = 128,
+                       step_quant: int = 64, **_unused) -> np.ndarray:
+        lanes = min(lanes, _MAXL)
+        n_elems = -(-n // 2)
+        K = blockio.K_for(n_elems, lanes, step_quant)
+        M = (16 + 1 + 2 * RUN_W) * K + 2
+        streams = blockio.unpack_device(payload, lanes, M)
+        vals = np.asarray(decode_device16(streams, K, order1))
+        out = vals.reshape(-1)[:n_elems].astype("<u2").view(np.uint8)
+        return out[:n].copy()
+
+    return encode_block16, decode_block16
+
+
+encode_block16, decode_block16 = make_block_api16(order1=False)
+encode_block16_o1, decode_block16_o1 = make_block_api16(order1=True)

@@ -82,3 +82,32 @@ def parse_reference_format(text: str):
         ps.append(p)
     return (np.asarray(ps, np.int32), np.asarray(s0s, np.int32),
             np.asarray(s1s, np.int32))
+
+
+N_STATES = 32768
+
+
+def load_reference_table(text: str):
+    """Parse a TurboRC-format FSM table with the loader's EXACT
+    semantics (fsminit_, mbc_sf.h:66-75): table zero-filled to 32768
+    states, per parsed state s1/s0 clamped to [0, N_STATES-1] and p to
+    [1, 2^RC_BITS - 1].  Returns (prob, next0, next1) int32 [N_STATES]
+    in build_table's layout.  We ship no tables; this loads a user's
+    own copy of the reference's FSM{0,1,9}.txt for byte parity with
+    `-psf` streams (rc_sf.c:40-50 loads the same file by id).
+    """
+    ps, s0s, s1s = parse_reference_format(text)
+    k = min(ps.shape[0], N_STATES)
+    prob = np.zeros(N_STATES, np.int32)
+    nxt0 = np.zeros(N_STATES, np.int32)
+    nxt1 = np.zeros(N_STATES, np.int32)
+    prob[:k] = np.clip(ps[:k], 1, TOTAL - 1)
+    nxt0[:k] = np.clip(s0s[:k], 0, N_STATES - 1)
+    nxt1[:k] = np.clip(s1s[:k], 0, N_STATES - 1)
+    return prob, nxt0, nxt1
+
+
+def reference_initial_state() -> int:
+    """mbu_init(_m_, mbu_probinit()) with mbu_probinit() = 0
+    (mbc_sf.h:44-46): every tree node starts in state 0."""
+    return 0

@@ -966,12 +966,18 @@ def coder_and_place(probs, init_states, K: int, geom: Geom = DEFAULT,
 
 
 def _make_place_kernel(g: Geom, steps: int):
+    # window rows sized from the actual slots per grid step: steps words
+    # per lane worst-case + 4 phase rows (g.pwrows only equals this when
+    # steps == g.rows_per_step; the o1/bittree pipelines pass the o0
+    # default steps=2*chunk even under an x2 geometry - ADVICE r04)
+    pwrows = steps + 4
+
     def _place_kernel(words_ref, emit_ref, out_ref, acc, pword, prow, sem):
         gi = pl.program_id(0)
 
         @pl.when(gi == 0)
         def _():
-            acc[:, :, :] = jnp.zeros((g.groups, g.pwrows, GLANES), jnp.int32)
+            acc[:, :, :] = jnp.zeros((g.groups, pwrows, GLANES), jnp.int32)
             for s in range(g.groups):
                 pword[s] = 256  # data starts after the 2 flush-state rows
                 prow[s] = 0
@@ -996,7 +1002,7 @@ def _make_place_kernel(g: Geom, steps: int):
             c0 = jnp.where((lane >= p127) & (lane < end), rs, 0)
             c1 = jnp.where(lane < end - 128, rs, 0)
             r_lo = p >> 7                  # (GROUPS, 1) scalar row per group
-            for rr in range(g.pwrows):
+            for rr in range(pwrows):
                 sel0 = (r_lo == rr).astype(jnp.int32)
                 sel1 = (r_lo + 1 == rr).astype(jnp.int32)
                 acc[:, rr, :] = acc[:, rr, :] + sel0 * c0 + sel1 * c1
@@ -1008,16 +1014,16 @@ def _make_place_kernel(g: Geom, steps: int):
         # (remaining words = p % 128 < 128): one log-depth dynamic row
         # select, everything above it zeroed.
         copies = [pltpu.make_async_copy(
-            acc.at[s], out_ref.at[s, pl.ds(prow[s], g.pwrows), :],
+            acc.at[s], out_ref.at[s, pl.ds(prow[s], pwrows), :],
             sem.at[s]) for s in range(g.groups)]
         for cp in copies:
             cp.start()
         for cp in copies:
             cp.wait()
         shift = p >> 7                         # (GROUPS, 1)
-        head = _select_dyn([acc[:, v, :] for v in range(g.pwrows)],
+        head = _select_dyn([acc[:, v, :] for v in range(pwrows)],
                            shift)
-        acc[:, :, :] = jnp.zeros((g.groups, g.pwrows, GLANES), jnp.int32)
+        acc[:, :, :] = jnp.zeros((g.groups, pwrows, GLANES), jnp.int32)
         acc[:, 0, :] = head
         for s in range(g.groups):
             prow[s] = prow[s] + shift[s, 0]
@@ -1047,7 +1053,7 @@ def place_tile(words: jnp.ndarray, emit: jnp.ndarray, state: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((g.groups, R, GLANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((g.groups, g.pwrows, GLANES), jnp.int32),  # acc
+            pltpu.VMEM((g.groups, steps + 4, GLANES), jnp.int32),  # acc
             pltpu.SMEM((g.groups,), jnp.int32),                  # pword
             pltpu.SMEM((g.groups,), jnp.int32),                  # prow
             pltpu.SemaphoreType.DMA((g.groups,)),

@@ -176,6 +176,48 @@ def spec_decode(stream: bytes, n: int) -> np.ndarray:
     return out
 
 
+def spec_encode_sf(data: np.ndarray, tables) -> bytes:
+    """o0 byte-tree encode under the FSM predictor - byte-exact twin of
+    reference `rcsfenc` (rc_sf.c + mbc_sf.h:44-50: p = fsm[s].p, next
+    state fsm[s].s[bit]; every tree node starts in state 0).  `tables`
+    = (prob, next0, next1) from models.fsm.load_reference_table or
+    build_table."""
+    prob, nxt0, nxt1 = tables
+    enc = RangeEncoder()
+    mb = np.zeros(256, np.int32)  # state ids (mbu_probinit() = 0)
+    for x in np.asarray(data, np.uint8):
+        node = 1
+        xx = 0x100 | int(x)
+        for i in range(8):
+            if i in RENORM_STEPS:
+                enc.renorm()
+            s = int(mb[node])
+            bit = (xx >> (7 - i)) & 1
+            enc.encode_bit(int(prob[s]), bit)
+            mb[node] = nxt1[s] if bit else nxt0[s]
+            node = (node << 1) | bit
+    return enc.flush()
+
+
+def spec_decode_sf(stream: bytes, n: int, tables) -> np.ndarray:
+    """Twin of reference `rcsfdec` (see spec_encode_sf)."""
+    prob, nxt0, nxt1 = tables
+    dec = RangeDecoder(stream)
+    mb = np.zeros(256, np.int32)
+    out = np.empty(n, np.uint8)
+    for k in range(n):
+        node = 1
+        for i in range(8):
+            if i in RENORM_STEPS:
+                dec.renorm()
+            s = int(mb[node])
+            bit = dec.decode_bit(int(prob[s]))
+            mb[node] = nxt1[s] if bit else nxt0[s]
+            node = (node << 1) | bit
+        out[k] = node & 0xFF
+    return out
+
+
 # ---------------------------------------------------------------------------
 # lane-parallel device coder
 # ---------------------------------------------------------------------------
@@ -191,7 +233,10 @@ def _jx():
     return jax, jnp
 
 
-def _enc_device_fn(K: int, W: int):
+def _enc_device_fn(K: int, W: int, sf=None):
+    """sf = optional (prob, next0, next1) FSM arrays: the per-node cell
+    then holds a state id gathered through the shared table instead of a
+    direct probability (mbc_sf.h vs mbc_s.h - same RC core)."""
     jax, jnp = _jx()
 
     @functools.partial(jax.jit, static_argnums=())
@@ -224,6 +269,9 @@ def _enc_device_fn(K: int, W: int):
                 low = jnp.where(b, low, low + rcx)
                 return (rng, low, ilow, pos)
 
+            if sf is not None:
+                prob_t, nxt0_t, nxt1_t = (jnp.asarray(a) for a in sf)
+
             def step(carry, col):
                 st, mb, words, flags = carry
                 node = jnp.ones_like(col, jnp.int32)
@@ -231,17 +279,24 @@ def _enc_device_fn(K: int, W: int):
                 for i in range(8):
                     if i in RENORM_STEPS:
                         st, (words, flags) = renorm(st, (words, flags))
-                    p = mb[lanes, node]
+                    cell = mb[lanes, node]
+                    p = prob_t[cell] if sf is not None else cell
                     bit = (xx >> (7 - i)) & 1
+                    if sf is not None:
+                        newc = jnp.where(bit.astype(jnp.bool_),
+                                         nxt1_t[cell], nxt0_t[cell])
+                    else:
+                        newc = (p - (((p - (bit << RC_BITS)) >> 5) + bit)) \
+                            & 0xFFFF
                     st = enc_bit(st, p, bit)
-                    mb = mb.at[lanes, node].set(
-                        (p - (((p - (bit << RC_BITS)) >> 5) + bit)) & 0xFFFF)
+                    mb = mb.at[lanes, node].set(newc)
                     node = (node << 1) | bit
                 return (st, mb, words, flags), None
 
             st = (jnp.full((L,), MASK64, u64), jnp.zeros((L,), u64),
                   jnp.zeros((L,), u64), jnp.zeros((L,), jnp.int32))
-            mb = jnp.full((L, 256), PROB_INIT, jnp.int32)
+            mb = jnp.full((L, 256), 0 if sf is not None else PROB_INIT,
+                          jnp.int32)
             words = jnp.zeros((L, W), jnp.uint32)
             flags = jnp.zeros((L, W), jnp.bool_)
             (st, mb, words, flags), _ = jax.lax.scan(
@@ -268,7 +323,7 @@ def _enc_device_fn(K: int, W: int):
     return run
 
 
-def _dec_device_fn(K: int):
+def _dec_device_fn(K: int, sf=None):
     jax, jnp = _jx()
 
     @functools.partial(jax.jit, static_argnums=())
@@ -281,7 +336,10 @@ def _dec_device_fn(K: int):
                 | streams[:, 1].astype(u64)
             rng = jnp.full((L,), MASK64, u64)
             pos = jnp.full((L,), 2, jnp.int32)
-            mb0 = jnp.full((L, 256), PROB_INIT, jnp.int32)
+            mb0 = jnp.full((L, 256), 0 if sf is not None else PROB_INIT,
+                           jnp.int32)
+            if sf is not None:
+                prob_t, nxt0_t, nxt1_t = (jnp.asarray(a) for a in sf)
 
             def renorm(rng, code, pos):
                 need = rng < jnp.uint64(1 << 32)
@@ -297,14 +355,20 @@ def _dec_device_fn(K: int):
                 for i in range(8):
                     if i in RENORM_STEPS:
                         rng, code, pos = renorm(rng, code, pos)
-                    p = mb[lanes, node]
+                    cell = mb[lanes, node]
+                    p = prob_t[cell] if sf is not None else cell
                     rcx = (rng >> jnp.uint64(RC_BITS)) * p.astype(u64)
                     rng = rng - rcx
                     bit = (code < rcx).astype(jnp.int32)
                     rng = jnp.where(bit, rcx, rng)
                     code = jnp.where(bit, code, code - rcx)
-                    mb = mb.at[lanes, node].set(
-                        (p - (((p - (bit << RC_BITS)) >> 5) + bit)) & 0xFFFF)
+                    if sf is not None:
+                        newc = jnp.where(bit.astype(jnp.bool_),
+                                         nxt1_t[cell], nxt0_t[cell])
+                    else:
+                        newc = (p - (((p - (bit << RC_BITS)) >> 5) + bit)) \
+                            & 0xFFFF
+                    mb = mb.at[lanes, node].set(newc)
                     node = (node << 1) | bit
                 return (rng, code, pos, mb), (node & 0xFF).astype(jnp.uint8)
 
@@ -334,13 +398,14 @@ def _apply_carries(words: np.ndarray, flags: np.ndarray,
     return words
 
 
-def encode_lanes(block: np.ndarray):
-    """Encode [L, K] byte columns -> (words [L, W] u32, lengths [L])."""
+def encode_lanes(block: np.ndarray, sf=None):
+    """Encode [L, K] byte columns -> (words [L, W] u32, lengths [L]).
+    sf = optional FSM predictor tables (prob, next0, next1)."""
     L, K = block.shape
     W = (K * 10) // 32 + 4  # worst case ~2 words/byte is unreachable;
     # expansion tops out near 10 bits/byte on adversarial data
     jax, jnp = _jx()
-    words, flags, npos = _enc_device_fn(K, W)(jnp.asarray(block))
+    words, flags, npos = _enc_device_fn(K, W, sf)(jnp.asarray(block))
     words = np.asarray(words)
     flags = np.asarray(flags)
     npos = np.asarray(npos)
@@ -349,7 +414,7 @@ def encode_lanes(block: np.ndarray):
     return _apply_carries(words, flags, npos), npos
 
 
-def decode_lanes(streams: np.ndarray, K: int) -> np.ndarray:
+def decode_lanes(streams: np.ndarray, K: int, sf=None) -> np.ndarray:
     """Decode [L, W] u32 word rows -> [L, K] bytes."""
     jax, jnp = _jx()
-    return np.asarray(_dec_device_fn(K)(jnp.asarray(streams)))
+    return np.asarray(_dec_device_fn(K, sf)(jnp.asarray(streams)))
