@@ -38,6 +38,12 @@ def test_geom_wire_roundtrip():
     gx = Geom.parse("g32c8s8y2l32a16r4x2")
     assert gx.nstates == 2 and gx.spec.endswith("x2")
     assert Geom.unpack(gx.pack()) == gx
+    # adaptation-rate knob (r05): wire + spec roundtrip, default elided
+    gu = Geom.parse("g8c8s8y2l32a16r4u8")
+    assert gu.rate == 8 and gu.spec.endswith("u8")
+    assert Geom.unpack(gu.pack()) == gu
+    assert Geom(rate=10) == Geom.unpack(Geom(rate=10).pack())
+    assert "u" not in Geom().spec
 
 
 def test_geom_validation():
@@ -46,7 +52,8 @@ def test_geom_validation():
     for bad in (dict(share=3), dict(chunk=8, sync=3), dict(lsync=12),
                 dict(arows=17), dict(groups=48), dict(chunk=12),
                 dict(lsync=24, chunk=8, sync=4), dict(srows=32),
-                dict(sync=2, chunk=2, lsync=24)):
+                dict(sync=2, chunk=2, lsync=24), dict(rate=6),
+                dict(rate=11)):
         with pytest.raises(ValueError):
             Geom(**bad)
     with pytest.raises(ValueError):
@@ -69,6 +76,20 @@ def test_s8_cross_geometry_roundtrip(textbwt):
         assert np.array_equal(out, data), (share, arows)
     # distinct geometries produce distinct payloads (the knobs are real)
     assert len({p for p in payloads.values()}) == len(payloads)
+
+
+def test_rate_knob_roundtrip(textbwt):
+    """rate=8 payloads roundtrip and take a DIFFERENT model trajectory
+    than rate=7 (the knob is format-relevant and must ride the wire)."""
+    from turborc_tpu.codecs import rans_cdf_s8
+    g7 = Geom.parse("g2c8s8y2l32a16r4")
+    g8 = Geom.parse("g2c8s8y2l32a16r4u8")
+    p7 = rans_cdf_s8.encode_block(textbwt, lanes=256, geom=g7)
+    p8 = rans_cdf_s8.encode_block(textbwt, lanes=256, geom=g8)
+    assert p7 != p8
+    out = rans_cdf_s8.decode_block(p8, textbwt.shape[0], lanes=256,
+                                   geom=g8)
+    assert np.array_equal(out, textbwt)
 
 
 def test_container_records_geometry(textbwt):

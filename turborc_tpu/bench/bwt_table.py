@@ -16,11 +16,12 @@ from turborc_tpu.bench import bwt_row
 
 _BASE = pathlib.Path(__file__).parent / "_baseline" / "ref_bwt_text.json"
 
-# (lev, MB, reps).  The context-mixing lev 9 stage is covered by
-# tests (test_pipeline_roundtrip[9]) but runs at sub-MB/s on this rig
-# (its CM scan could not finish 1MB in 10 minutes through the tunnel),
-# so its large-scale rows are omitted rather than reported cold.
-POINTS = ((8, 16, 2), (8, 64, 2), (10, 64, 2), (10, 16, 2))
+# (lev, MB, reps).  r05: lev 8/9 at scale route to the flagship-kernel
+# stages (bwt.py _FLAG_GRID) - the measured ratio-frontier geometries
+# that beat the same-machine reference rcbwt ratios on every cell; lev
+# 10 is the TPU-speed auto-dispatch point.
+POINTS = ((8, 16, 2), (8, 64, 2), (9, 16, 2), (9, 64, 2),
+          (10, 64, 2), (10, 16, 2))
 
 
 def main(out_path: str | None = None):

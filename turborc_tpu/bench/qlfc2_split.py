@@ -69,7 +69,6 @@ def main():
     pay = qlfc.encode_block2(bwt_data, sub=1)
     import struct
     _m, ver, sub = struct.unpack_from("<QBB", pay)
-    (rank_len,) = None,  # placeholder
     # parse the header the way decode does to locate rank_len
     off = 270
     _, off = qlfc._unvarints(pay, off, qlfc._QLFC2_NCTX)

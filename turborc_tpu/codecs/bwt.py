@@ -78,6 +78,37 @@ def _auto_dec(payload, n, **_kw):
     return rans_auto.decode_block(payload, n)
 
 
+# Flagship kernel stage at the RATIO-optimal geometry per (level, body
+# size) - the r05 measured frontier (bench/rate_probe.py + the geometry
+# grid in ROUND5_NOTES): fewer groups = longer per-lane streams = less
+# adaptation ramp, and rate 8 wins at >= ~32MB.  The geometry rides in
+# the stage payload, so decode needs no level knowledge.
+_FLAG_GRID = {
+    8: ((48 << 20, "g16c8s8y2l32a16r4u8"), (0, "g8c8s8y2l32a16r4")),
+    9: ((48 << 20, "g4c8s8y2l32a16r4u8"), (0, "g2c8s8y1l32a16r4u8")),
+}
+
+
+def _flag_enc_for(level: int):
+    def enc(data, **_kw):
+        from turborc_tpu.codecs import rans_pallas
+        from turborc_tpu.ops.pallas.geom import Geom
+        spec = next(s for floor, s in _FLAG_GRID[level]
+                    if data.shape[0] >= floor)
+        g = Geom.parse(spec)
+        return g.pack() + rans_pallas.encode_block(data, geom=g)
+    return enc
+
+
+def _flag_dec(payload, n, **_kw):
+    from turborc_tpu.codecs import rans_pallas
+    from turborc_tpu.ops.pallas.geom import Geom
+    if len(payload) < 4:
+        raise ValueError("corrupt payload: truncated flagship stage")
+    g = Geom.unpack(payload[:4])
+    return rans_pallas.decode_block(payload[4:], n, geom=g)
+
+
 def _bec_enc(data, **_kw):
     from turborc_tpu.codecs import bec
     return bec.encode_block_w(data)
@@ -102,25 +133,40 @@ _STAGES = {
     8: ("qlfc", _qlfc_enc, _qlfc_dec),     # ref rcbwt.c default lev 8
     9: ("rcmrr", _rcmrr_enc, _rcmrr_dec),  # ref rcbwt.c:94 lev 9
     10: ("rans-auto", _auto_enc, _auto_dec),
-    11: ("qlfc2", _qlfc2_enc, _qlfc2_dec),  # context-sorted QLFC (lev 8
-    #                                         at scale; see qlfc.py)
+    11: ("qlfc2", _qlfc2_enc, _qlfc2_dec),  # context-sorted QLFC
+    # flagship-kernel stages at the measured ratio-frontier geometries
+    # (r05: beats the same-machine reference rcbwt lev 8/9 ratios at
+    # kernel speed; geometry rides in the payload, so 12/13 share a
+    # decoder and differ only in the encoder's operating point)
+    12: ("flagship", _flag_enc_for(8), _flag_dec),
+    13: ("flagship+", _flag_enc_for(9), _flag_dec),
 }
 _STAGE_IDS = {2: 2, 3: 3, 4: 3, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9,
               10: 10}
 _BY_STAGE_ID = {2: _STAGES[2], 3: _STAGES[3], 5: _STAGES[5],
                 7: _STAGES[7], 8: _STAGES[8], 9: _STAGES[9],
-                10: _STAGES[10], 11: _STAGES[11]}
+                10: _STAGES[10], 11: _STAGES[11], 12: _STAGES[12],
+                13: _STAGES[13]}
 
-# lev 8 upgrades to the context-sorted stage once the body is big enough
-# to amortize the flagship kernel's lane geometry (the reference has one
-# sequential coder and no such floor)
+# lev 8/9 upgrade to the flagship kernel stage once the body is big
+# enough to amortize its lane geometry (the reference has one sequential
+# coder and no such floor); the scan-based qlfc/rcmrr stages carry the
+# small-block regime.
 QLFC2_MIN = int(os.environ.get("TRC_QLFC2_MIN", str(4 << 20)))
+FLAG_MIN = int(os.environ.get("TRC_BWT_FLAG_MIN", str(1 << 20)))
+
+
+def _kernel_backend() -> bool:
+    import jax
+    return jax.default_backend() not in ("cpu",)
 
 
 def _pick_stage(level: int, nbytes: int) -> int:
     sid = _STAGE_IDS.get(level, 7)
+    if sid in (8, 9) and nbytes >= FLAG_MIN and _kernel_backend():
+        return 12 if sid == 8 else 13
     if sid == 8 and nbytes >= QLFC2_MIN:
-        return 11
+        return 11   # context-sorted QLFC: the best kernel-less stage
     return sid
 
 
@@ -129,17 +175,26 @@ def _pick_stage(level: int, nbytes: int) -> int:
 # reference's rcbwt codes whole blocks only because its stages are
 # streaming scalar loops).  Flag bit 8 marks a segmented stage payload:
 # u32 nchunks, then per chunk u32 orig_len + u32 paylen + u8 stored.
+# The flagship kernel stages code much larger tiles in one piece (the
+# encode-side probs tensor is ~8 bytes/input byte of HBM), and chunking
+# costs ratio - so they get their own, higher limit.
 SEG = int(os.environ.get("TRC_BWT_SEG", str(16 << 20)))
+SEG_FLAG = int(os.environ.get("TRC_BWT_SEG_FLAG", str(128 << 20)))
+
+
+def _seg_limit(stage_id: int) -> int:
+    return SEG_FLAG if stage_id in (12, 13) else SEG
 
 
 def _stage_encode(stage_id: int, body: np.ndarray, **kw):
     """-> (payload, segmented)."""
     _, enc, _ = _BY_STAGE_ID[stage_id]
-    if body.shape[0] <= SEG:
+    if body.shape[0] <= _seg_limit(stage_id):
         return enc(body, **kw), False
-    parts = [struct.pack("<I", -(-body.shape[0] // SEG))]
-    for off in range(0, body.shape[0], SEG):
-        chunk = body[off:off + SEG]
+    seg = _seg_limit(stage_id)
+    parts = [struct.pack("<I", -(-body.shape[0] // seg))]
+    for off in range(0, body.shape[0], seg):
+        chunk = body[off:off + seg]
         p = enc(chunk, **kw)
         stored = len(p) >= chunk.shape[0]
         if stored:

@@ -103,16 +103,16 @@ def _sync_lo_cold(cdf_lo, start_lo, share, srows):
     return jnp.where(_hot_mask(srows), cdf_lo, joined)
 
 
-def _code_byte(cdf_hi, cdf_lo, b, arows):
+def _code_byte(cdf_hi, cdf_lo, b, arows, rate=cdf16.CDFRATE):
     """One per-lane o0 nibble-pair step (immediate own update).
     Returns (cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l)."""
     hi, lo = b >> 4, b & 15
     low_h, fr_h = cdf16.lookup(cdf_hi, hi)
-    cdf_hi = cdf16.update(cdf_hi, low_h)
+    cdf_hi = cdf16.update_rate(cdf_hi, low_h, rate)
     sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
     row = _lo_row(cdf_lo, sel)
     low_l, fr_l = cdf16.lookup(row, lo)
-    new_row = cdf16.update(row, low_l)
+    new_row = cdf16.update_rate(row, low_l, rate)
     if arows < 16:  # static cold rows: no update when hi >= arows
         new_row = jnp.where((hi < arows)[:, None], new_row, row)
     cdf_lo = _lo_put(cdf_lo, sel, row, new_row)
@@ -129,11 +129,12 @@ def _model_init(L, hi_tbl, lo_tbl, share):
 
 
 @functools.partial(jax.jit, static_argnames=("K", "share", "sync",
-                                             "lsync", "arows", "srows"))
+                                             "lsync", "arows", "srows",
+                                             "rate"))
 def encode_device(block: jnp.ndarray, K: int, hi_tbl, lo_tbl,
                   share: int = SHARE, sync: int = SYNC,
                   lsync: int = LSYNC, arows: int = AROWS,
-                  srows: int = SROWS):
+                  srows: int = SROWS, rate: int = cdf16.CDFRATE):
     """block [M, K, share] int32 bytes -> (streams [L, 2K+2], lengths)."""
     M = block.shape[0]
     L = M * share
@@ -151,7 +152,7 @@ def encode_device(block: jnp.ndarray, K: int, hi_tbl, lo_tbl,
         outs = []
         for u in range(sync):
             cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = _code_byte(
-                cdf_hi, cdf_lo, b[u], arows)
+                cdf_hi, cdf_lo, b[u], arows, rate)
             outs.append(jnp.stack([jnp.stack([low_h, fr_h]),
                                    jnp.stack([low_l, fr_l])]))
         if share > 1:
@@ -176,11 +177,12 @@ def encode_device(block: jnp.ndarray, K: int, hi_tbl, lo_tbl,
 
 
 @functools.partial(jax.jit, static_argnames=("K", "share", "sync",
-                                             "lsync", "arows", "srows"))
+                                             "lsync", "arows", "srows",
+                                             "rate"))
 def decode_device(streams: jnp.ndarray, K: int, hi_tbl, lo_tbl,
                   share: int = SHARE, sync: int = SYNC,
                   lsync: int = LSYNC, arows: int = AROWS,
-                  srows: int = SROWS):
+                  srows: int = SROWS, rate: int = cdf16.CDFRATE):
     """streams [L, 2K+2] -> block [M, K, share] int32 bytes."""
     L = streams.shape[0]
     M = L // share
@@ -195,7 +197,7 @@ def decode_device(streams: jnp.ndarray, K: int, hi_tbl, lo_tbl,
             value = (state & rans.MASK15).astype(jnp.int32)
             hi, low_h, fr_h = cdf16.search(cdf_hi, value)
             state = rans.dec_update(state, low_h, fr_h)
-            cdf_hi = cdf16.update(cdf_hi, low_h)
+            cdf_hi = cdf16.update_rate(cdf_hi, low_h, rate)
             state, pos = rans.dec_renorm(state, streams, pos)
 
             sel = jax.nn.one_hot(hi, 16, dtype=cdf_lo.dtype)
@@ -203,7 +205,7 @@ def decode_device(streams: jnp.ndarray, K: int, hi_tbl, lo_tbl,
             value = (state & rans.MASK15).astype(jnp.int32)
             lo, low_l, fr_l = cdf16.search(row, value)
             state = rans.dec_update(state, low_l, fr_l)
-            new_row = cdf16.update(row, low_l)
+            new_row = cdf16.update_rate(row, low_l, rate)
             if arows < 16:  # static cold rows (mirror _code_byte)
                 new_row = jnp.where((hi < arows)[:, None], new_row, row)
             cdf_lo = _lo_put(cdf_lo, sel, row, new_row)
@@ -270,6 +272,9 @@ def encode_block(data: np.ndarray, lanes: int = 8192,
     if geom is not None:
         share, sync, lsync, arows = (geom.share, geom.sync, geom.lsync,
                                      geom.arows)
+        rate = geom.rate
+    else:
+        rate = cdf16.CDFRATE
     share = SHARE if share is None else share
     sync = SYNC if sync is None else sync
     lsync = LSYNC if lsync is None else lsync
@@ -281,7 +286,7 @@ def encode_block(data: np.ndarray, lanes: int = 8192,
         blockio.push_u8(block), K,
         jnp.asarray(blockio.cumulative(hi_f)),
         jnp.asarray(blockio.cumulative(lo_f)),
-        share=share, sync=sync, lsync=lsync, arows=arows)
+        share=share, sync=sync, lsync=lsync, arows=arows, rate=rate)
     return (hi_f.astype("<u2").tobytes() + lo_f.astype("<u2").tobytes()
             + blockio.pack_device(streams, lengths))
 
@@ -293,6 +298,9 @@ def decode_block(payload: bytes, n: int, lanes: int = 8192,
     if geom is not None:
         share, sync, lsync, arows = (geom.share, geom.sync, geom.lsync,
                                      geom.arows)
+        rate = geom.rate
+    else:
+        rate = cdf16.CDFRATE
     share = SHARE if share is None else share
     sync = SYNC if sync is None else sync
     lsync = LSYNC if lsync is None else lsync
@@ -315,5 +323,5 @@ def decode_block(payload: bytes, n: int, lanes: int = 8192,
         streams, K,
         jnp.asarray(blockio.cumulative(hi_f)),
         jnp.asarray(blockio.cumulative(lo_f)),
-        share=share, sync=sync, lsync=lsync, arows=arows))
+        share=share, sync=sync, lsync=lsync, arows=arows, rate=rate))
     return block.reshape(-1)[:n]

@@ -49,6 +49,10 @@ def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
         raise ValueError(
             "the bittree pipeline has no split-state (x2) format: "
             f"geometry {g.spec} requires nstates=1")
+    if g.rate != 7:
+        raise ValueError(
+            "the bittree XLA twin runs the fixed CDFRATE=7 update: "
+            f"geometry {g.spec} requires rate=7")
     init_states, span_data, _ = _P._split_seed(data, g)
     K = _K_for(span_data.shape[0], g)
     block = _shape_lanes(span_data, K, g)
@@ -72,6 +76,10 @@ def decode_block(payload: bytes, n: int, geom: Geom | None = None,
         raise ValueError(
             "the bittree pipeline has no split-state (x2) format: "
             f"geometry {g.spec} requires nstates=1")
+    if g.rate != 7:
+        raise ValueError(
+            "the bittree XLA twin runs the fixed CDFRATE=7 update: "
+            f"geometry {g.spec} requires rate=7")
     s_len = min(n, _P._seed_bytes(g))
     K = _K_for(n - s_len, g)
     if len(payload) < 510 + 4 * g.groups:

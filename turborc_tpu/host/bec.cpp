@@ -153,6 +153,13 @@ void encode_forest(const u8* bits, i64 R, i64 K, BitWriter& wr,
 
 // ---- forest decode --------------------------------------------------------
 
+// Sparse active-set decode (r05 speedup): the dense version propagated
+// counts for EVERY node of every level (16n writes per plane) plus a
+// final n-byte copy.  Saturated/empty segments code nothing and their
+// whole subtree is determined (all-1 / all-0), so only ACTIVE segments
+// carry state here; inactive children resolve to direct span fills of
+// the output.  Node f at level l covers out[f*w, (f+1)*w), w = K>>l
+// (trees are contiguous).  Bitstream-identical to the dense decoder.
 bool decode_forest(BitReader& rd, i64 R, i64 K, u8* out,
                    std::vector<int32_t>& cur, std::vector<int32_t>& nxt,
                    std::vector<i64>& active, std::vector<i64>& act2,
@@ -160,86 +167,72 @@ bool decode_forest(BitReader& rd, i64 R, i64 K, u8* out,
   int levels = 0;
   while ((i64(1) << levels) < K) ++levels;
   int rootw = levels + 1;
-  cur.resize((size_t)(R * K));
-  nxt.resize((size_t)(R * K));
-  active.clear();
+  std::memset(out, 0, (size_t)(R * K));
+  active.clear();            // node ids at the current level
+  cur.clear();               // matching counts (parallel array)
   for (i64 r = 0; r < R; ++r) {
     i64 c = (i64)rd.get(rootw);
     if (c < 0 || c > K || rd.bad) return false;
-    cur[(size_t)r] = (int32_t)c;
-    if (c > 0 && c < K) active.push_back(r);
+    if (c == K) std::memset(out + r * K, 1, (size_t)K);
+    else if (c > 0) { active.push_back(r); cur.push_back((int32_t)c); }
   }
-  i64 ncur = R;
-  for (int l = 0; l < levels; ++l) {
+  for (int l = 0; l < levels && !active.empty(); ++l) {
     i64 h = K >> (l + 1);
-    // saturated split for every segment
-    for (i64 f = 0; f < ncur; ++f) {
-      int32_t t = cur[(size_t)f];
-      int32_t left = t < h ? t : (int32_t)h;
-      nxt[(size_t)(2 * f)] = left;
-      nxt[(size_t)(2 * f + 1)] = t - left;
-    }
-    if (!active.empty() && h == 1) {
-      // last level: every active segment has t == 1, m == 2, b == 1,
-      // T == 0 - zero prefix bits, exactly one extra bit.  Tight
-      // sequential 1-bit reads with a local cursor.
+    size_t na = active.size();
+    if (h == 1) {
+      // last level: t == 1, m == 2, b == 1, T == 0 - zero prefix bits,
+      // exactly one extra bit per active segment.
       i64 p = rd.pos;
-      if (p + (i64)active.size() > rd.nbytes * 8 + 64) return false;
+      if (p + (i64)na > rd.nbytes * 8 + 64) return false;
       const i64 limit = rd.nbytes * 8;  // reads in the pad window are 0
-      for (i64 f : active) {
-        int32_t bit = p < limit
-            ? (int32_t)((rd.buf[(size_t)(p >> 3)] >> (p & 7)) & 1) : 0;
+      for (size_t i = 0; i < na; ++i) {
+        i64 f = active[i];
+        u8 bit = p < limit
+            ? (u8)((rd.buf[(size_t)(p >> 3)] >> (p & 7)) & 1) : (u8)0;
         ++p;
-        nxt[(size_t)(2 * f)] = bit;
-        nxt[(size_t)(2 * f + 1)] = 1 - bit;
+        out[2 * f] = bit;
+        out[2 * f + 1] = (u8)(1 - bit);
       }
       rd.pos = p;
-    } else if (!active.empty()) {
-      pres.resize(active.size());
-      // pass 1: all prefix fields of the level.  Widths depend only on
-      // the previous level's counts, so field positions are computed
-      // up-front and the reads carry no serial cursor dependency.
-      i64 p = rd.pos;
-      for (size_t i = 0; i < active.size(); ++i) {
-        i64 f = active[i];
-        i64 t = cur[(size_t)f];
-        i64 lo = t - h > 0 ? t - h : 0;
-        i64 m = (t < h ? t : h) - lo + 1;
-        int w = blc(m) - 1;
-        if (w < 0) w = 0;
-        pres[i] = (i64)rd.at(p, w);
-        p += w;
-      }
-      rd.pos = p;
-      // pass 2: extras, then resolve
-      for (size_t i = 0; i < active.size(); ++i) {
-        i64 f = active[i];
-        i64 t = cur[(size_t)f];
-        i64 lo = t - h > 0 ? t - h : 0;
-        i64 m = (t < h ? t : h) - lo + 1;
-        int b = blc(m);
-        i64 T = (i64(1) << b) - m;
-        i64 v = pres[i];
-        if (v >= T && b >= 1) v = ((v << 1) | (i64)rd.get(1)) - T;
-        if (v < 0 || v >= m || rd.bad) return false;
-        i64 left = v + lo;
-        nxt[(size_t)(2 * f)] = (int32_t)left;
-        nxt[(size_t)(2 * f + 1)] = (int32_t)(t - left);
-      }
+      break;
     }
+    pres.resize(na);
+    // pass 1: all prefix fields of the level.  Widths depend only on
+    // the previous level's counts, so field positions are computed
+    // up-front and the reads carry no serial cursor dependency.
+    i64 p = rd.pos;
+    for (size_t i = 0; i < na; ++i) {
+      i64 t = cur[i];
+      i64 lo = t - h > 0 ? t - h : 0;
+      i64 m = (t < h ? t : h) - lo + 1;
+      int w = blc(m) - 1;
+      if (w < 0) w = 0;
+      pres[i] = (i64)rd.at(p, w);
+      p += w;
+    }
+    rd.pos = p;
+    // pass 2: extras, resolve, emit children (fill or stay active)
+    act2.clear();
+    nxt.clear();
+    for (size_t i = 0; i < na; ++i) {
+      i64 f = active[i];
+      i64 t = cur[i];
+      i64 lo = t - h > 0 ? t - h : 0;
+      i64 m = (t < h ? t : h) - lo + 1;
+      int b = blc(m);
+      i64 T = (i64(1) << b) - m;
+      i64 v = pres[i];
+      if (v >= T && b >= 1) v = ((v << 1) | (i64)rd.get(1)) - T;
+      if (v < 0 || v >= m || rd.bad) return false;
+      i64 left = v + lo, right = t - left;
+      if (left == h) std::memset(out + 2 * f * h, 1, (size_t)h);
+      else if (left > 0) { act2.push_back(2 * f); nxt.push_back((int32_t)left); }
+      if (right == h) std::memset(out + (2 * f + 1) * h, 1, (size_t)h);
+      else if (right > 0) { act2.push_back(2 * f + 1); nxt.push_back((int32_t)right); }
+    }
+    active.swap(act2);
     cur.swap(nxt);
-    ncur *= 2;
-    if (l + 1 < levels) {
-      act2.clear();
-      for (i64 f : active)
-        for (i64 kid = 2 * f; kid <= 2 * f + 1; ++kid) {
-          int32_t kc = cur[(size_t)kid];
-          if (kc > 0 && kc < h) act2.push_back(kid);
-        }
-      active.swap(act2);
-    }
   }
-  for (i64 i = 0; i < R * K; ++i) out[i] = (u8)cur[(size_t)i];
   return !rd.bad;
 }
 

@@ -31,7 +31,9 @@ import numpy as np
 
 RC_BITS = 15
 TOTAL = 1 << RC_BITS  # 32768
-CDFRATE = 7           # cdf_.h:25
+CDFRATE = int(__import__("os").environ.get("TRC_CDFRATE", "7"))  # cdf_.h:25
+#   (env override is an EXPERIMENT knob: the rate is format-relevant,
+#    so production payloads pin the default; see bench/rate_probe.py)
 IC = 10               # cdf_.h:35
 MIXD = (TOTAL - 1) & ~((1 << 5) - 1)  # 32736, cdf_.h:36
 

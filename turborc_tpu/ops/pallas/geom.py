@@ -41,6 +41,10 @@ class Geom:
     nstates: int = 1   # rANS states per lane (2 = split hi/lo streams,
     #                    halving the decode chain; reference analog: the
     #                    4-way state interleave, anscdf_.h:97-103)
+    rate: int = 7      # CDF16 adaptation rate (cdf_.h CDFRATE).  BWT
+    #                    text measures ~0.2pp better at 8 (slower =
+    #                    steadier estimates on run-heavy data); 7 is the
+    #                    reference constant and the general default.
 
     def __post_init__(self):
         # The 4-byte container header encodes groups/chunk/share/sync/
@@ -67,6 +71,11 @@ class Geom:
             raise ValueError("geometry arows must be in [0, 16]")
         if self.nstates not in (1, 2):
             raise ValueError("geometry nstates must be 1 or 2")
+        if not 7 <= self.rate <= 10:
+            # rates < 7 need in-kernel monotone repair after every
+            # update (the staircase step can overshoot, cdf16.py
+            # update_rate docstring); >= 7 is provably repair-free
+            raise ValueError("geometry rate must be in [7, 10]")
 
     # ---- derived (not independent format knobs)
     @property
@@ -125,22 +134,25 @@ class Geom:
     @classmethod
     def parse(cls, spec: str) -> "Geom":
         """Parse a compact geometry spec g<groups>c<chunk>s<share>y<sync>
-        l<lsync>a<arows>[r<srows>] (the sweep/CLI notation)."""
+        l<lsync>a<arows>[r<srows>][u<rate>] (the sweep/CLI notation)."""
         import re
         m = re.fullmatch(
-            r"g(\d+)c(\d+)s(\d+)y(\d+)l(\d+)a(\d+)(?:r(\d+))?(x2)?", spec)
+            r"g(\d+)c(\d+)s(\d+)y(\d+)l(\d+)a(\d+)(?:r(\d+))?(x2)?"
+            r"(?:u(\d+))?", spec)
         if not m:
             raise ValueError(f"bad geometry spec {spec!r}")
         g, c, s, y, l, a = map(int, m.groups()[:6])
         r = int(m.group(7)) if m.group(7) else 4
+        u = int(m.group(9)) if m.group(9) else 7
         return cls(groups=g, chunk=c, share=s, sync=y, lsync=l, arows=a,
-                   srows=r, nstates=2 if m.group(8) else 1)
+                   srows=r, nstates=2 if m.group(8) else 1, rate=u)
 
     @property
     def spec(self) -> str:
         return (f"g{self.groups}c{self.chunk}s{self.share}y{self.sync}"
                 f"l{self.lsync}a{self.arows}r{self.srows}"
-                + ("x2" if self.nstates == 2 else ""))
+                + ("x2" if self.nstates == 2 else "")
+                + (f"u{self.rate}" if self.rate != 7 else ""))
 
     # ---- container header wire format (4 bytes; format v3)
     WIRE_LEN = 4
@@ -152,7 +164,7 @@ class Geom:
              | ((self.sync.bit_length() - 1) << 3)
              | ((self.nstates - 1) << 6))
         c = (self.lsync.bit_length() - 1) | (self.srows << 3)
-        d = self.arows
+        d = self.arows | ((self.rate - 7) << 5)   # arows 5 bits, rate 2
         return bytes([a, b, c, d])
 
     @classmethod
@@ -163,7 +175,8 @@ class Geom:
         return cls(groups=1 << (a & 15), chunk=1 << (a >> 4),
                    share=1 << (b & 7), sync=1 << ((b >> 3) & 7),
                    nstates=1 + ((b >> 6) & 1),
-                   lsync=1 << (c & 7), srows=c >> 3, arows=d)
+                   lsync=1 << (c & 7), srows=c >> 3, arows=d & 31,
+                   rate=7 + (d >> 5))
 
 
 def from_env() -> Geom:

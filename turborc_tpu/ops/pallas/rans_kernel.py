@@ -184,14 +184,14 @@ def _clamp16(cdf):
     return [jnp.minimum(cdf[i], TOTAL - 16 + i) for i in range(16)]
 
 
-def _cdf_delta(cdf, low):
+def _cdf_delta(cdf, low, rate=CDFRATE):
     """Per-symbol shifted update delta (cdf16.delta), entry list form."""
     return [((i * IC - cdf[i]
-              + jnp.where(cdf[i] > low, MIXD, 0)) >> CDFRATE)
+              + jnp.where(cdf[i] > low, MIXD, 0)) >> rate)
             for i in range(16)]
 
 
-def _cdf_update(cdf, low):
+def _cdf_update(cdf, low, rate=CDFRATE):
     """Single-symbol staircase-mix update.  No repair/clamp: for a valid
     strict-monotone cdf they are provably no-ops here - new gap >=
     g + floor((tgap - g)/128) >= 1 since every target gap >= IC = 10,
@@ -199,7 +199,7 @@ def _cdf_update(cdf, low):
     advancing within 128 of its fixpoint (verified by brute force, 6M
     steps).  Only the SYNC re-join's summed diffs can violate, so repair
     + clamp run there."""
-    d = _cdf_delta(cdf, low)
+    d = _cdf_delta(cdf, low, rate)
     return [cdf[i] + d[i] for i in range(16)]
 
 
@@ -239,6 +239,40 @@ def _dec_search(state, cdf):
     sym, low, freq = _cdf_search(cdf, value)
     state = freq * (state >> RC_BITS) + value - low
     return state, sym, low
+
+
+# ---- packed-pair lo-table representation (decode-kernel internal).
+# CDF entries are < 2^15 (clamp16 keeps entry i <= TOTAL-16+i), so two
+# u16 halves of an int32 hold a pair with a clear guard bit each: the
+# 16-entry row rides in 8 registers.  The 16-row context select then
+# costs 8x15 wheres instead of 16x15 - the single largest op block of
+# the decode hot loop (~240/byte, ROUND4_NOTES section 3).  Packing is
+# pure layout: unpacked entry math is unchanged, so payloads and the
+# XLA twin stay bit-identical.
+
+def _pack16(e):
+    return [e[2 * j] | (e[2 * j + 1] << 16) for j in range(8)]
+
+
+def _unpack16(p):
+    out = []
+    for j in range(8):
+        out.append(p[j] & 0xFFFF)
+        out.append(p[j] >> 16)  # top half < 2^15 -> sign bit clear
+    return out
+
+
+def _rejoin_rows_pk(cdf_pk, start_pk, lane, rows, share):
+    """Packed-row twin of _rejoin_rows: unpack, re-join, repack."""
+    for h in rows:
+        cur = _unpack16([cdf_pk[h, j] for j in range(8)])
+        st = _unpack16([start_pk[h, j] for j in range(8)])
+        dsum = [_set_sum(cur[i] - st[i], lane, share) for i in range(16)]
+        new_r = _clamp16(_repair16([st[i] + dsum[i] for i in range(16)]))
+        new_p = _pack16(new_r)
+        for j in range(8):
+            cdf_pk[h, j] = new_p[j]
+            start_pk[h, j] = new_p[j]
 
 
 # Warm-start model init: every lane starts from its GROUP's nibble
@@ -413,8 +447,16 @@ def _make_decode_kernel(g: Geom):
         @pl.when(gi == 0)
         def _():
             states[:, :] = (window[:, 0, :] << 16) | window[:, 1, :]
-            _init_tables(cdf_hi, cdf_lo, hi_tbl, lo_tbl, g.arows,
-                         start_lo if g.share > 1 else None)
+            for i in range(16):
+                cdf_hi[i] = hi_tbl[i]
+            # adaptive lo rows seed from the PRE-PACKED warm-table input
+            # (static rows >= arows keep reading the constant input
+            # directly in the select - Mosaic hoists them)
+            for h in range(g.arows):
+                for j in range(8):
+                    cdf_lo[h, j] = lo_tbl[h, j]
+                    if g.share > 1:
+                        start_lo[h, j] = lo_tbl[h, j]
             queue[0] = window[:, 2, :]
             queue[1] = window[:, 3, :]
 
@@ -440,31 +482,33 @@ def _make_decode_kernel(g: Geom):
             state, hi, low_h = _dec_search(state, hi_t)
             state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
                                                   consumed)
-            hi_t = _cdf_update(hi_t, low_h)
+            hi_t = _cdf_update(hi_t, low_h, g.rate)
 
-            # ---- lo nibble: context-select the row (binary-tree select
-            # on hi's bits: 15 wheres/entry, no adds), decode, write back
+            # ---- lo nibble: context-select the PACKED row (binary-tree
+            # select on hi's bits: 15 wheres x 8 packed regs - half the
+            # unpacked cost), unpack, decode, repack, write back
             hb = _idx_bits(hi)
             if "rowsel" in ABLATE:
-                row_t = [cdf_lo[0, i] for i in range(16)]
+                row_p = [cdf_lo[0, j] for j in range(8)]
             else:
-                row_t = [_select16(
-                    [cdf_lo[h, i] if h < g.arows else lo_tbl[h, i]
+                row_p = [_select16(
+                    [cdf_lo[h, j] if h < g.arows else lo_tbl[h, j]
                      for h in range(16)], *hb)
-                    for i in range(16)]
+                    for j in range(8)]
+            row_t = _unpack16(row_p)
             state, lo, low_l = _dec_search(state, row_t)
             if "fetch" in ABLATE:
                 state = jnp.where(state < ANS_LOW, state | (1 << 20), state)
             else:
                 state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
                                                       consumed)
-            new_row = _cdf_update(row_t, low_l)
+            new_p = _pack16(_cdf_update(row_t, low_l, g.rate))
             if "wb" not in ABLATE:
                 for h in range(g.arows):
                     hit = hi == h
-                    for i in range(16):
-                        cdf_lo[h, i] = jnp.where(hit, new_row[i],
-                                                 cdf_lo[h, i])
+                    for j in range(8):
+                        cdf_lo[h, j] = jnp.where(hit, new_p[j],
+                                                 cdf_lo[h, j])
 
             out_ref[t] = (hi << 4) | lo
 
@@ -486,8 +530,8 @@ def _make_decode_kernel(g: Geom):
                                            for i in range(16)]))
                 start_hi = hi_t
                 if "losync" not in ABLATE:
-                    _rejoin_rows(cdf_lo, start_lo, lane, range(g.hrows),
-                                 g.share)
+                    _rejoin_rows_pk(cdf_lo, start_lo, lane,
+                                    range(g.hrows), g.share)
 
         # ---- cold-row re-join at the LSYNC boundary (grid-step aligned;
         # rows >= arows are static and never re-join)
@@ -495,8 +539,8 @@ def _make_decode_kernel(g: Geom):
                 and "losync" not in ABLATE:
             @pl.when((gi + 1) % g.lsync_steps == 0)
             def _():
-                _rejoin_rows(cdf_lo, start_lo, lane,
-                             range(g.srows, g.arows), g.share)
+                _rejoin_rows_pk(cdf_lo, start_lo, lane,
+                                range(g.srows, g.arows), g.share)
 
         # ---- persist carry state (pword = absolute consumed position)
         states[:, :] = state
@@ -588,7 +632,7 @@ def _make_decode_kernel_x2(g: Geom):
             # ---- hi nibble on its own state/stream
             st_h, hi, low_h = _dec_search(st_h, hi_t)
             st_h, q0h, q1h, vch, conh = fetch_h(st_h, q0h, q1h, vch, conh)
-            hi_t = _cdf_update(hi_t, low_h)
+            hi_t = _cdf_update(hi_t, low_h, g.rate)
 
             # ---- lo nibble on the second state/stream
             hb = _idx_bits(hi)
@@ -598,7 +642,7 @@ def _make_decode_kernel_x2(g: Geom):
                 for i in range(16)]
             st_l, lo, low_l = _dec_search(st_l, row_t)
             st_l, q0l, q1l, vcl, conl = fetch_l(st_l, q0l, q1l, vcl, conl)
-            new_row = _cdf_update(row_t, low_l)
+            new_row = _cdf_update(row_t, low_l, g.rate)
             for h in range(g.arows):
                 hit = hi == h
                 for i in range(16):
@@ -707,6 +751,9 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
     if hi_tbl is None:
         hi_tbl, lo_tbl = _default_tables(g)
     hi_b, lo_b = _broadcast_tables(hi_tbl, lo_tbl, g)
+    # pre-pack the lo rows (2 u16 entries / int32) for the packed select
+    # (axes are [row, entry, G, GLANES] - _cum_args/_broadcast_tables)
+    lo_b = lo_b[:, 0::2] | (lo_b[:, 1::2] << 16)     # [16, 8, G, GLANES]
     grid = K // g.chunk
     return pl.pallas_call(
         _make_decode_kernel(g),
@@ -714,7 +761,7 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
         in_specs=[
             pl.BlockSpec((16, g.groups, GLANES), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16, g.groups, GLANES),
+            pl.BlockSpec((16, 8, g.groups, GLANES),
                          lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -728,8 +775,10 @@ def decode_tile(gstreams: jnp.ndarray, K: int,
         scratch_shapes=[
             pltpu.VMEM((g.groups, GLANES), jnp.int32),          # states
             pltpu.VMEM((16, g.groups, GLANES), jnp.int32),      # cdf_hi
-            pltpu.VMEM((g.crows, 16, g.groups, GLANES), jnp.int32),
-            pltpu.VMEM((g.crows, 16, g.groups, GLANES), jnp.int32),
+            # lo rows packed 2 entries/int32 (all 16 rows; static rows
+            # beyond arows written once at init)
+            pltpu.VMEM((16, 8, g.groups, GLANES), jnp.int32),
+            pltpu.VMEM((16, 8, g.groups, GLANES), jnp.int32),
             pltpu.VMEM((2, g.groups, GLANES), jnp.int32),       # queue
             pltpu.VMEM((g.groups, g.wrows, GLANES), jnp.int32),  # window
             pltpu.SMEM((g.groups,), jnp.int32),                 # pword
@@ -775,14 +824,14 @@ def _make_model_kernel(g: Geom):
             b = block_ref[t]
             hi, lo = b >> 4, b & 15
             low_h, fr_h = _cdf_lookup(hi_t, hi)
-            hi_t = _cdf_update(hi_t, low_h)
+            hi_t = _cdf_update(hi_t, low_h, g.rate)
             hb = _idx_bits(hi)
             row_t = [_select16(
                 [cdf_lo[h, i] if h < g.arows else lo_tbl[h, i]
                  for h in range(16)], *hb)
                 for i in range(16)]
             low_l, fr_l = _cdf_lookup(row_t, lo)
-            new_row = _cdf_update(row_t, low_l)
+            new_row = _cdf_update(row_t, low_l, g.rate)
             for h in range(g.arows):
                 hit = hi == h
                 for i in range(16):
@@ -1102,7 +1151,7 @@ def encode_tile(block: jnp.ndarray, K: int,
         outs = []
         for u in range(g.sync):
             cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = S8._code_byte(
-                cdf_hi, cdf_lo, b[u], g.arows)
+                cdf_hi, cdf_lo, b[u], g.arows, g.rate)
             outs.append(jnp.stack([jnp.stack([low_h, fr_h]),
                                    jnp.stack([low_l, fr_l])]))
         if g.share > 1:

@@ -177,7 +177,7 @@ def _make_decode_kernel(g: Geom):
             state, hi, low_h = K_._dec_search(state, hi_row)
             state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
                                                   consumed)
-            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h),
+            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h, g.rate),
                        rows=NCTX)
 
             hb = K_._idx_bits(hi)
@@ -185,7 +185,7 @@ def _make_decode_kernel(g: Geom):
             state, lo, low_l = K_._dec_search(state, row_t)
             state, q0, q1, vcnt, consumed = fetch(state, q0, q1, vcnt,
                                                   consumed)
-            new_row = K_._cdf_update(row_t, low_l)
+            new_row = K_._cdf_update(row_t, low_l, g.rate)
             locx = _locx_of(prev, hi)
             _writeback(cdf_lo, locx, new_row, rows=LROWS)
 
@@ -280,14 +280,14 @@ def _make_model_kernel(g: Geom):
             ctx = _ctx_of(prev)
             hi_row = _select_row32(cdf_hi, ctx)
             low_h, fr_h = K_._cdf_lookup(hi_row, hi)
-            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h),
+            _writeback(cdf_hi, ctx, K_._cdf_update(hi_row, low_h, g.rate),
                        rows=NCTX)
 
             hb = K_._idx_bits(hi)
             row_t = _code_lo_row(cdf_lo, prev, hb, hi)
             low_l, fr_l = K_._cdf_lookup(row_t, lo)
             locx = _locx_of(prev, hi)
-            _writeback(cdf_lo, locx, K_._cdf_update(row_t, low_l),
+            _writeback(cdf_lo, locx, K_._cdf_update(row_t, low_l, g.rate),
                        rows=LROWS)
 
             probs_ref[2 * t] = (low_h << 16) | fr_h
