@@ -22,20 +22,32 @@ from turborc_tpu import CodecConfig, compress
 
 _BENCH = pathlib.Path(__file__).parent.parent / "turborc_tpu" / "bench"
 
-# codec -> (reference id, margin: repo_size <= ref_size * margin)
+# codec -> (reference id, margin: repo_size <= ref_size * margin
+#           [, lanes]).  r05 ratchet: every margin re-measured and
+#           dropped to measured + ~1.5% slack (ratios are deterministic;
+#           the slack covers future lane/step default shifts only), and
+#           rows added for the CM family, ansb, the bitwise o1/sliding
+#           contexts, and the o1 flagship at its product lane count.
 MARGINS = {
-    "rans-static": (42, 1.02),
-    "rans-cdf-o0": (46, 1.05),
-    "rc-o0": (1, 1.08),
-    "rcr-8": (28, 1.08),
-    "rcrle": (13, 1.09),
-    "rcu3": (17, 1.09),
-    "rcg-8": (26, 1.10),
-    "bec-w": (19, 1.12),
-    "rcqlfc": (18, 1.15),
-    # order-1 flagship vs the reference's own o1 on identical bytes
-    # (measured 1.009 at lanes=64 on this slice)
-    "rans-cdf-r1": (64, 1.03),
+    "rans-static": (42, 1.005),
+    "rans-cdf-o0": (46, 1.03),
+    "rc-o0": (1, 1.055),
+    "rcr-8": (28, 1.045),
+    "rcrle": (13, 1.06),
+    "rcu3": (17, 1.06),
+    "rcg-8": (26, 1.075),
+    "bec-w": (19, 1.10),
+    "rcqlfc": (18, 1.11),
+    # order-1 flagship vs the reference's own o1 on identical bytes:
+    # BEATS it since the r05 64-row hi context (measured 0.986)
+    "rans-cdf-r1": (64, 1.00),
+    # o1 flagship at the product lane count (per-lane spans shrink to
+    # 256B on this 512KB slice - the margin prices the adaptation ramp)
+    "rans-cdf-r1@2048": (64, 1.15, 2048),
+    "rcmrr": (12, 1.08),
+    "ansb": (66, 1.025),
+    "rcc-o1": (2, 1.28),
+    "rcx": (4, 1.22),
 }
 
 
@@ -53,11 +65,12 @@ def ref_rows():
 
 @pytest.mark.parametrize("codec", sorted(MARGINS))
 def test_ratio_vs_reference(slice512k, ref_rows, codec):
-    rid, margin = MARGINS[codec]
+    rid, margin, *rest = MARGINS[codec]
+    lanes = rest[0] if rest else 64
     ref = ref_rows[rid]
     blob = compress(slice512k, CodecConfig(
-        codec=codec, lanes=64, block_size=slice512k.shape[0],
-        step_quant=64))
+        codec=codec.split("@")[0], lanes=lanes,
+        block_size=slice512k.shape[0], step_quant=64))
     ratio = len(blob) / slice512k.shape[0]
     assert ratio <= ref["ratio"] * margin, (
         f"{codec}: {ratio:.4f} vs reference {ref['name']} "

@@ -48,17 +48,29 @@ def main():
     his = jnp.asarray(np.stack(his))
     los = jnp.asarray(np.stack(los))
 
-    def per_shard(blk, hi, lo):
-        gs, gl = K_.encode_tile(blk[0], Kk, hi[0], lo[0], geom=g)
-        out, _fs = K_.decode_tile(gs, Kk, hi[0], lo[0], geom=g)
-        return out[None], gl[None]
+    # encode per block OUTSIDE the mesh (the XLA encode twin's scan
+    # carries hit a shard_map varying-axis typing restriction; encode is
+    # embarrassingly parallel over blocks anyway), then shard_map the
+    # flagship DECODE KERNEL over the device mesh - the path the
+    # distribution layer actually runs hot.
+    streams = []
+    R = None
+    for d in range(D):
+        gs, _gl = K_.encode_tile_pallas(blocks[d], Kk, his[d], los[d],
+                                        geom=g)
+        streams.append(np.asarray(gs))
+        R = gs.shape[1]
+    streams = jnp.asarray(np.stack(streams))
+
+    def per_shard(st, hi, lo):
+        out, _fs = K_.decode_tile(st[0], Kk, hi[0], lo[0], geom=g)
+        return out[None]
 
     fn = jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
-        out_specs=(P("data"), P("data"))))
-    out, gl = fn(blocks, his, los)
-    out = np.asarray(out)
+        out_specs=P("data")))
+    out = np.asarray(fn(streams, his, los))
     ok = all(np.array_equal(out[d].reshape(Kk, g.lanes).T,
                             np.asarray(blocks[d])) for d in range(D))
     row = {"devices": int(D), "geom": g.spec, "block_mb": n >> 20,

@@ -24,8 +24,12 @@ run bwt_table 14400 -- python -m turborc_tpu.bench.bwt_table BENCH_BWT_r05.json
 run shardmap 3600 -- python -m turborc_tpu.bench.shardmap_kernel
 
 # 4. weak scaling -> SCALING_r05.json (virtual 8-device CPU mesh: the
-#    honest overhead_efficiency base on this 1-chip rig; JSON lines)
-run scaling 7200 -- bash -c 'env JAX_PLATFORMS=cpu \
+#    honest overhead_efficiency base on this 1-chip rig; JSON lines).
+#    The axon site hook force-initializes its PJRT client and pins the
+#    device list to the 1 real chip - strip it (same dance as
+#    tests/conftest.py) so the virtual device count takes effect.
+run scaling 7200 -- bash -c 'env -u PALLAS_AXON_POOL_IPS \
+  JAX_PLATFORMS=cpu PYTHONPATH= \
   XLA_FLAGS="--xla_force_host_platform_device_count=8" \
   python -m turborc_tpu.bench.scaling 4 8 > SCALING_r05.json'
 

@@ -85,7 +85,7 @@ def _auto_dec(payload, n, **_kw):
 # the stage payload, so decode needs no level knowledge.
 _FLAG_GRID = {
     8: ((48 << 20, "g16c8s8y2l32a16r4u8"), (0, "g8c8s8y2l32a16r4")),
-    9: ((48 << 20, "g4c8s8y2l32a16r4u8"), (0, "g2c8s8y1l32a16r4u8")),
+    9: ((48 << 20, "g4c8s8y2l32a16r4u8"), (0, "g1c8s8y1l32a16r4u8")),
 }
 
 

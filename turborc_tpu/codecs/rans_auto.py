@@ -57,8 +57,8 @@ _TAG_S8, _TAG_R1, _TAG_S1, _TAG_R1G = 0, 1, 2, 3
 # o1-optimal geometry by block size: the g16 span win needs enough
 # bytes per lane to amortize the warm-up (16MB/2048 lanes = 8KB spans);
 # small blocks keep more lanes.
-_R1_SPECS = ((4 << 20, "g16c8s8y4l32a16r4"),
-             (1 << 20, "g32c8s8y4l32a16r4"))
+_R1_SPECS = ((4 << 20, "g4c8s8y4l32a16r4"),
+             (1 << 20, "g8c8s8y4l32a16r4"))
 
 
 def _impls():

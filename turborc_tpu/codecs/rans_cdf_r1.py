@@ -8,8 +8,8 @@ trail in bench/o1cost.py).  Round-3 wiring (o1cost variant o1m32+ow,
 17.11% vs the round-2 o1r16's 19.13% on realsrcbwt16; the static
 conditional-entropy decomposition that found it is in the round notes):
 
-    ctx  = prev < 24 ? prev : 24 + min(bitlen(prev - 23), 7)
-           hi | ctx  (32 rows: low ranks exact, log2 buckets above)
+    ctx  = prev < 56 ? prev : 56 + min(bitlen(prev - 55), 7)
+           hi | ctx  (64 rows: low ranks exact, log2 buckets above)
     locx = prev>>4 == hi ? 32 + (prev & 15)          # match plane
          : hi == 0       ? min(prev, 15) : 16 + hi
            lo | locx (48 rows)
@@ -41,7 +41,11 @@ from turborc_tpu.codecs import blockio
 from turborc_tpu.models import cdf16
 from turborc_tpu.ops import rans
 
-NCTX = 32
+NCTX = 64   # r05: 32 -> 64 rows closed the o1 ratio gap to 1.009x of
+#             the reference on realsrcbwt16 (15.40% vs 15.27% at g1;
+#             was 15.95%).  A further widening to 128 rows gains only
+#             0.04pp and a (prev-bucket x hi) lo-context split LOSES
+#             (adaptation dilution) - measured, ROUND5_NOTES.
 LROWS = 48
 LIN = NCTX - 8                   # exact-rank rows before log2 buckets
 N_ENTRIES = (NCTX + LROWS) * 16  # warm-table u8 codes per group
@@ -88,7 +92,7 @@ def _row_put(table, sel, row_old, row_new):
     return table + (row_new - row_old)[:, None, :] * sel[:, :, None]
 
 
-def _step_model(cdf_hi, cdf_lo, prev, b):
+def _step_model(cdf_hi, cdf_lo, prev, b, rate=cdf16.CDFRATE):
     """One o1 nibble-pair step.  Returns (cdf_hi, cdf_lo, low_h, fr_h,
     low_l, fr_l)."""
     hi, lo = b >> 4, b & 15
@@ -96,24 +100,25 @@ def _step_model(cdf_hi, cdf_lo, prev, b):
     csel = jax.nn.one_hot(ctx, NCTX, dtype=cdf_hi.dtype)
     hrow = _row_get(cdf_hi, csel)
     low_h, fr_h = cdf16.lookup(hrow, hi)
-    cdf_hi = _row_put(cdf_hi, csel, hrow, cdf16.update(hrow, low_h))
+    cdf_hi = _row_put(cdf_hi, csel, hrow, cdf16.update_rate(hrow, low_h, rate))
     locx = locx_of(prev, hi)
     lsel = jax.nn.one_hot(locx, LROWS, dtype=cdf_lo.dtype)
     lrow = _row_get(cdf_lo, lsel)
     low_l, fr_l = cdf16.lookup(lrow, lo)
-    cdf_lo = _row_put(cdf_lo, lsel, lrow, cdf16.update(lrow, low_l))
+    cdf_lo = _row_put(cdf_lo, lsel, lrow, cdf16.update_rate(lrow, low_l, rate))
     return cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def model_pass(block: jnp.ndarray, K: int, hi0, lo0):
+@functools.partial(jax.jit, static_argnames=("K", "rate"))
+def model_pass(block: jnp.ndarray, K: int, hi0, lo0,
+               rate: int = cdf16.CDFRATE):
     """block [L, K] int32 -> probs [2K, 2(low/freq), L] (encode model)."""
     cols = block.astype(jnp.int32).T
 
     def fwd(carry, b):
         cdf_hi, cdf_lo, prev = carry
         cdf_hi, cdf_lo, low_h, fr_h, low_l, fr_l = _step_model(
-            cdf_hi, cdf_lo, prev, b)
+            cdf_hi, cdf_lo, prev, b, rate)
         return (cdf_hi, cdf_lo, b), jnp.stack(
             [jnp.stack([low_h, fr_h]), jnp.stack([low_l, fr_l])])
 
@@ -123,15 +128,17 @@ def model_pass(block: jnp.ndarray, K: int, hi0, lo0):
     return probs.reshape(2 * K, 2, L)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def encode_device(block: jnp.ndarray, K: int, hi0, lo0):
-    probs = model_pass(block, K, hi0, lo0)
+@functools.partial(jax.jit, static_argnames=("K", "rate"))
+def encode_device(block: jnp.ndarray, K: int, hi0, lo0,
+                  rate: int = cdf16.CDFRATE):
+    probs = model_pass(block, K, hi0, lo0, rate)
     words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1])
     return rans.stitch(words, emit, state)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def decode_device(streams: jnp.ndarray, K: int, hi0, lo0):
+@functools.partial(jax.jit, static_argnames=("K", "rate"))
+def decode_device(streams: jnp.ndarray, K: int, hi0, lo0,
+                  rate: int = cdf16.CDFRATE):
     L = streams.shape[0]
     state, pos = rans.dec_init(streams)
 
@@ -143,7 +150,8 @@ def decode_device(streams: jnp.ndarray, K: int, hi0, lo0):
         value = (state & rans.MASK15).astype(jnp.int32)
         hi, low_h, fr_h = cdf16.search(hrow, value)
         state = rans.dec_update(state, low_h, fr_h)
-        cdf_hi = _row_put(cdf_hi, csel, hrow, cdf16.update(hrow, low_h))
+        cdf_hi = _row_put(cdf_hi, csel, hrow,
+                          cdf16.update_rate(hrow, low_h, rate))
         state, pos = rans.dec_renorm(state, streams, pos)
 
         locx = locx_of(prev, hi)
@@ -152,7 +160,7 @@ def decode_device(streams: jnp.ndarray, K: int, hi0, lo0):
         value = (state & rans.MASK15).astype(jnp.int32)
         lo, low_l, fr_l = cdf16.search(lrow, value)
         state = rans.dec_update(state, low_l, fr_l)
-        cdf_lo = _row_put(cdf_lo, lsel, lrow, cdf16.update(lrow, low_l))
+        cdf_lo = _row_put(cdf_lo, lsel, lrow, cdf16.update_rate(lrow, low_l, rate))
         state, pos = rans.dec_renorm(state, streams, pos)
         b = (hi << 4) | lo
         return (cdf_hi, cdf_lo, b, state, pos), b

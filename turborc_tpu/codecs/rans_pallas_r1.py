@@ -54,10 +54,6 @@ def encode_block(data: np.ndarray, use_pallas_encoder: bool = True,
         raise ValueError(
             "the o1 pipeline has no split-state (x2) format: "
             f"geometry {g.spec} requires nstates=1")
-    if g.rate != 7:
-        raise ValueError(
-            "the o1 XLA twin runs the fixed CDFRATE=7 update: "
-            f"geometry {g.spec} requires rate=7")
     n = data.shape[0]
     perm = _rank_perm(data) if n else np.arange(256, dtype=np.uint8)
     inv = np.zeros(256, np.uint8)
@@ -91,10 +87,6 @@ def decode_block(payload: bytes, n: int, geom: Geom | None = None,
         raise ValueError(
             "the o1 pipeline has no split-state (x2) format: "
             f"geometry {g.spec} requires nstates=1")
-    if g.rate != 7:
-        raise ValueError(
-            "the o1 XLA twin runs the fixed CDFRATE=7 update: "
-            f"geometry {g.spec} requires rate=7")
     s_len = min(n, _seed_bytes(g))
     K = _K_for(n - s_len, g)
     if len(payload) < 256 + 4 + R1.N_ENTRIES:

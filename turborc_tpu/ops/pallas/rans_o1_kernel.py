@@ -355,7 +355,7 @@ def encode_tile(block: jnp.ndarray, K: int, hi_tbl: jnp.ndarray,
     # per-lane tables from per-group args (lane l is in group l//128)
     hi0 = jnp.repeat(jnp.transpose(hi_tbl, (2, 0, 1)), GLANES, axis=0)
     lo0 = jnp.repeat(jnp.transpose(lo_tbl, (2, 0, 1)), GLANES, axis=0)
-    probs = R1.model_pass(block, K, hi0, lo0)
+    probs = R1.model_pass(block, K, hi0, lo0, rate=g.rate)
     init = None if init_states is None else init_states.reshape(L)
     words, emit, state = rans.encode_backward(probs[:, 0], probs[:, 1],
                                               init_state=init)
