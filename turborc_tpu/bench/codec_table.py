@@ -89,7 +89,9 @@ def main():
     out_p = pathlib.Path(args.out)
     rows = []
     if args.append and out_p.exists():
-        rows = json.loads(out_p.read_text())["rows"]
+        # keep only successful rows: failures retry (e.g. after a fix)
+        rows = [r for r in json.loads(out_p.read_text())["rows"]
+                if r.get("ok")]
     done = {r["codec"] for r in rows}
 
     names = sorted(registry._BY_NAME)
@@ -100,6 +102,11 @@ def main():
             continue
         c = registry.get(name)
         data = small if _is_slow(name) else full
+        # n-bit tree codecs code a <8-bit alphabet by contract
+        # (reference rc2b..rc7b, mb_o0.h): mask the corpus to fit
+        if name.startswith("rc") and name.endswith("b") \
+                and name[2:-1].isdigit():
+            data = (data & ((1 << int(name[2:-1])) - 1)).astype(np.uint8)
         t0 = time.time()
         try:
             row = run_codec(c, data, args.reps)
