@@ -41,8 +41,9 @@ def test_place_kernel_interpret_matches_xla_stitch(rng, K_):
         R = S + 2 + K_.WROWS
         n = K // K_.CHUNK
         from turborc_tpu.ops.pallas.geom import DEFAULT
+        steps = 2 * K_.CHUNK
         out = pl.pallas_call(
-            K_._make_place_kernel(DEFAULT), grid=(n,),
+            K_._make_place_kernel(DEFAULT, steps), grid=(n,),
             in_specs=[pl.BlockSpec((2 * K_.CHUNK, K_.GROUPS, K_.GLANES),
                                    lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)] * 2,
@@ -50,7 +51,7 @@ def test_place_kernel_interpret_matches_xla_stitch(rng, K_):
             out_shape=jax.ShapeDtypeStruct((K_.GROUPS, R, K_.GLANES),
                                            jnp.int32),
             scratch_shapes=[
-                pltpu.VMEM((K_.GROUPS, K_.PROWS, K_.GLANES), jnp.int32),
+                pltpu.VMEM((K_.GROUPS, steps + 4, K_.GLANES), jnp.int32),
                 pltpu.SMEM((K_.GROUPS,), jnp.int32),
                 pltpu.SMEM((K_.GROUPS,), jnp.int32),
                 pltpu.SemaphoreType.DMA((K_.GROUPS,)),
