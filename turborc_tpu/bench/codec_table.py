@@ -43,11 +43,11 @@ def _is_slow(name: str) -> bool:
         and not name.endswith("-p")
 
 
-def run_codec(c, data: np.ndarray, reps: int):
+def run_codec(c, data: np.ndarray, reps: int, mod: int = 256):
     n = data.shape[0]
     pays, et, dt = None, [], []
     for r in range(reps + 1):
-        d = data if r == 0 else ((data.astype(np.int32) + r) % 256
+        d = data if r == 0 else ((data.astype(np.int32) + r) % mod
                                  ).astype(np.uint8)
         t0 = time.perf_counter()
         pay = c.encode_block(d)
@@ -103,13 +103,16 @@ def main():
         c = registry.get(name)
         data = small if _is_slow(name) else full
         # n-bit tree codecs code a <8-bit alphabet by contract
-        # (reference rc2b..rc7b, mb_o0.h): mask the corpus to fit
+        # (reference rc2b..rc7b, mb_o0.h): mask the corpus to fit, and
+        # keep the per-rep distinct-input shift inside the alphabet
+        mod = 256
         if name.startswith("rc") and name.endswith("b") \
                 and name[2:-1].isdigit():
-            data = (data & ((1 << int(name[2:-1])) - 1)).astype(np.uint8)
+            mod = 1 << int(name[2:-1])
+            data = (data & (mod - 1)).astype(np.uint8)
         t0 = time.time()
         try:
-            row = run_codec(c, data, args.reps)
+            row = run_codec(c, data, args.reps, mod)
         except Exception as e:  # noqa: BLE001 - battery must survive
             row = {"codec": name, "id": c.codec_id, "ok": False,
                    "error": f"{type(e).__name__}: {e}",
