@@ -106,8 +106,11 @@ def test_x2_kernel_interpret_roundtrip():
 
 def test_o1_kernel_interpret_roundtrip():
     env = dict(os.environ)
+    # TRC_NCTX=32: the production 64-row hi context interprets at a
+    # pathological compile cost on the 1-core rig; 32 rows covers the
+    # same select/writeback/carry machinery
     env.update(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SYNC="2", TRC_LSYNC="4",
-               TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
+               TRC_NCTX="32", TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable, "-c", _SCRIPT_R1], env=env,
                        capture_output=True, text=True, timeout=3600,
                        cwd=os.path.dirname(os.path.dirname(__file__)))

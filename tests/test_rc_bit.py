@@ -61,12 +61,13 @@ def test_roundtrip(corpora, codec, name):
 
 
 def test_order1_beats_order0_on_text(corpora):
-    # same (lanes, block_size, n) as test_roundtrip so the scan
-    # executables are compile-cache hits, not two fresh fat compiles
-    data = corpora["text"][:6000]
-    cfg0 = CodecConfig(codec="rc-o0", lanes=8, block_size=1 << 14,
+    # full 18KB text: the round-4 compile-reuse truncation to 6000 bytes
+    # broke the property (750 bytes/lane cannot warm the o1 tables) and
+    # went unnoticed because the suite was not re-run after that commit
+    data = corpora["text"]
+    cfg0 = CodecConfig(codec="rc-o0", lanes=8, block_size=1 << 15,
                        step_quant=64)
-    cfg1 = CodecConfig(codec="rcc-o1", lanes=8, block_size=1 << 14,
+    cfg1 = CodecConfig(codec="rcc-o1", lanes=8, block_size=1 << 15,
                        step_quant=64)
     s0, s1 = len(compress(data, cfg0)), len(compress(data, cfg1))
     assert s1 < s0 < data.shape[0]

@@ -41,11 +41,15 @@ from turborc_tpu.codecs import blockio
 from turborc_tpu.models import cdf16
 from turborc_tpu.ops import rans
 
-NCTX = 64   # r05: 32 -> 64 rows closed the o1 ratio gap to 1.009x of
-#             the reference on realsrcbwt16 (15.40% vs 15.27% at g1;
-#             was 15.95%).  A further widening to 128 rows gains only
-#             0.04pp and a (prev-bucket x hi) lo-context split LOSES
-#             (adaptation dilution) - measured, ROUND5_NOTES.
+# r05: 32 -> 64 hi-context rows closed the o1 ratio gap to 1.009x of
+# the reference on realsrcbwt16 (15.40% vs 15.27% at g1; was 15.95%).
+# A further widening to 128 rows gains only 0.04pp and a
+# (prev-bucket x hi) lo-context split LOSES (adaptation dilution) -
+# measured, ROUND5_NOTES.  The env override exists for the interpret-
+# mode kernel tests (a 64-row cold interpret compile is pathological
+# on 1-core rigs); NCTX is FORMAT-RELEVANT - payloads written at one
+# value do not decode at another.
+NCTX = int(__import__("os").environ.get("TRC_NCTX", "64"))
 LROWS = 48
 LIN = NCTX - 8                   # exact-rank rows before log2 buckets
 N_ENTRIES = (NCTX + LROWS) * 16  # warm-table u8 codes per group
