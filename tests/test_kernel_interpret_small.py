@@ -111,8 +111,10 @@ def test_o1_kernel_interpret_roundtrip():
     # same select/writeback/carry machinery
     env.update(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SYNC="2", TRC_LSYNC="4",
                TRC_NCTX="32", TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
+    # cold-cache compile of the o1 interpret body exceeds 60 min on the
+    # 1-core rig (warm: minutes) - run_suite.sh budgets this file 7200 s
     r = subprocess.run([sys.executable, "-c", _SCRIPT_R1], env=env,
-                       capture_output=True, text=True, timeout=3600,
+                       capture_output=True, text=True, timeout=7200,
                        cwd=os.path.dirname(os.path.dirname(__file__)))
     assert r.returncode == 0, f"STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}"
     assert "interpret o1 kernel roundtrip ok" in r.stdout
