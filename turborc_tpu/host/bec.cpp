@@ -288,24 +288,50 @@ int trc_becw_dec(const uint8_t* payload, int64_t payload_bytes,
   std::vector<int64_t> pres;
   std::vector<u8> bits((size_t)n);
   std::vector<int32_t> off(257);
+  // carried per-row bucket counts for the NEXT plane (r05): the bucket
+  // of position p at plane b+1 is (q << 1) | bit_decoded_at_plane_b, so
+  // the scatter pass can accumulate the next plane's histogram for free
+  // and the dedicated counting pass (1 of the 3 passes/row/plane) drops.
+  std::vector<int32_t> cnts((size_t)L * 256, 0);
   std::memset(out_block, 0, (size_t)n);
   for (int b = 0; b < 8; ++b) {
     if (!decode_forest(rd, L, K, bits.data(), cur, nxt, active, act2, pres))
       return -1;
     const int shift = 7 - b;
     if (b == 0) {
-      for (i64 i = 0; i < n; ++i) out_block[i] |= bits[(size_t)i] << 7;
-    } else {
-      const int pshift = 8 - b;
-      i64 nbuck = i64(1) << b;
       for (i64 r = 0; r < L; ++r) {
         u8* row = out_block + r * K;
         const u8* src = bits.data() + r * K;
-        std::fill(off.begin(), off.begin() + (size_t)nbuck + 1, 0);
-        for (i64 p = 0; p < K; ++p) off[(size_t)(row[p] >> pshift) + 1]++;
-        for (i64 q = 0; q < nbuck; ++q) off[(size_t)q + 1] += off[(size_t)q];
-        for (i64 p = 0; p < K; ++p)
-          row[p] |= src[off[(size_t)(row[p] >> pshift)]++] << shift;
+        int32_t* cn = cnts.data() + r * 256;
+        cn[0] = cn[1] = 0;
+        for (i64 p = 0; p < K; ++p) {
+          u8 bit = src[p];
+          row[p] = (u8)(bit << 7);
+          ++cn[bit];
+        }
+      }
+    } else {
+      const int pshift = 8 - b;
+      i64 nbuck = i64(1) << b;
+      const bool last = b == 7;
+      for (i64 r = 0; r < L; ++r) {
+        u8* row = out_block + r * K;
+        const u8* src = bits.data() + r * K;
+        int32_t* cn = cnts.data() + r * 256;
+        off[0] = 0;
+        for (i64 q = 0; q < nbuck; ++q) off[(size_t)q + 1] = off[(size_t)q] + cn[q];
+        if (!last) {
+          std::fill(cn, cn + (size_t)(nbuck << 1), 0);
+          for (i64 p = 0; p < K; ++p) {
+            i64 q = row[p] >> pshift;
+            u8 bit = src[off[(size_t)q]++];
+            row[p] |= bit << shift;
+            ++cn[(size_t)((q << 1) | bit)];
+          }
+        } else {
+          for (i64 p = 0; p < K; ++p)
+            row[p] |= src[off[(size_t)(row[p] >> pshift)]++] << shift;
+        }
       }
     }
   }
