@@ -12,6 +12,18 @@ import os
 import subprocess
 import sys
 
+
+def _child_env(**over):
+    """Suite env minus the virtual 8-device topology: interpret
+    children are single-device, and the device count multiplies
+    their (already heavy) XLA:CPU compile cost."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env.update(over)
+    return env
+
 import pytest
 
 _SCRIPT = r"""
@@ -94,9 +106,9 @@ def test_x2_kernel_interpret_roundtrip():
     # split-state (nstates=2) wire format: header bit 6, doubled glens
     # table and seed bytes, decode_tile_x2 (ADVICE r04: bench-only paths
     # shipped format regressions unnoticed)
-    env = dict(os.environ)
-    env.update(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SYNC="2", TRC_LSYNC="4",
-               TRC_NSTATES="2", TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
+    env = _child_env(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SYNC="2",
+                     TRC_LSYNC="4", TRC_NSTATES="2", TRC_INTERPRET="1",
+                     JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable, "-c", _SCRIPT_X2], env=env,
                        capture_output=True, text=True, timeout=3600,
                        cwd=os.path.dirname(os.path.dirname(__file__)))
@@ -105,12 +117,12 @@ def test_x2_kernel_interpret_roundtrip():
 
 
 def test_o1_kernel_interpret_roundtrip():
-    env = dict(os.environ)
     # TRC_NCTX=32: the production 64-row hi context interprets at a
     # pathological compile cost on the 1-core rig; 32 rows covers the
     # same select/writeback/carry machinery
-    env.update(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SYNC="2", TRC_LSYNC="4",
-               TRC_NCTX="32", TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
+    env = _child_env(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SYNC="2",
+                     TRC_LSYNC="4", TRC_NCTX="32", TRC_INTERPRET="1",
+                     JAX_PLATFORMS="cpu")
     # cold-cache compile of the o1 interpret body exceeds 60 min on the
     # 1-core rig (warm: minutes) - run_suite.sh budgets this file 7200 s
     r = subprocess.run([sys.executable, "-c", _SCRIPT_R1], env=env,
@@ -122,15 +134,14 @@ def test_o1_kernel_interpret_roundtrip():
 
 @pytest.mark.parametrize("share", ["8", "1"])
 def test_decode_kernel_interpret_roundtrip(share):
-    env = dict(os.environ)
     # LSYNC=4 so the cold-row (tiered) re-join fires within the test's
     # few grid steps (cold cadence = LSYNC/CHUNK = 2 grid steps).
     # CHUNK=2 keeps the unrolled interpret body small: the test host has
     # ONE cpu core, and a cold-cache interpret compile of the CHUNK=4
     # body exceeds 30 minutes there (warm runs are seconds).
-    env.update(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SHARE=share,
-               TRC_SYNC="2", TRC_LSYNC="4",
-               TRC_INTERPRET="1", JAX_PLATFORMS="cpu")
+    env = _child_env(TRC_GROUPS="2", TRC_CHUNK="2", TRC_SHARE=share,
+                     TRC_SYNC="2", TRC_LSYNC="4", TRC_INTERPRET="1",
+                     JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
                        capture_output=True, text=True, timeout=3600,
                        cwd=os.path.dirname(os.path.dirname(__file__)))
